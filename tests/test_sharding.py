@@ -1,0 +1,122 @@
+"""Sharded-vs-unsharded equality on a virtual 8-device CPU mesh — the direct
+analog of the reference's `mpirun -np N` single-box testing strategy
+(test/check_xchange.c + serial-vs-MPI comparison, survey §4).
+
+The dslash/trajectory must produce identical results regardless of the device
+mesh, validating simultaneously: the halo exchange XLA emits for rolls on
+sharded axes, counter-based RNG decomposition independence, and psum
+reduction determinism.
+
+Mesh axes: 't' shards the time extent, 'm' shards the flattened (Y, Z) axis
+(contiguous blocks = y-slabs — the 3rd decomposed direction).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tmlqcd_tpu import rng, su3
+from tmlqcd_tpu.hmc import DetMonomial, GaugeMonomial, HMCConfig, IntegratorConfig, Level, hmc_trajectory
+from tmlqcd_tpu.lattice import EVEN, Lattice, pack_gauge_eo
+from tmlqcd_tpu.ops import wilson as w
+from tmlqcd_tpu.ops.gauge_action import gauge_action, plaquette
+from tmlqcd_tpu.ops.wilson import DiracParams
+
+LAT = Lattice((8, 4, 4, 8))
+DT = jnp.complex64
+PARAMS = DiracParams(kappa=0.14, mu=0.02)
+
+# gauge [3,3,4,T,X,Mf]; spinor [4,3,T,X,M]
+U_SPEC = P(None, None, None, "t", None, "m")
+S_SPEC = P(None, None, "t", None, "m")
+
+
+def _mesh2d():
+    return Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("t", "m"))
+
+
+@pytest.fixture(scope="module")
+def fields():
+    u = su3.random_su3(jax.random.key(0), (4,) + LAT.site_shape, DT)
+    psi = rng.normal_spinor(jax.random.key(1), (4, 3) + LAT.eo_site_shape, DT)
+    return u, psi
+
+
+def test_dslash_sharded_equals_unsharded(fields):
+    u, psi = fields
+    ph = w.boundary_phases(PARAMS, LAT)
+    ueo = pack_gauge_eo(u, LAT)
+
+    f = jax.jit(lambda ueo, p: w.dslash_packed(ueo, p, EVEN, LAT, ph))
+    ref = f(ueo, psi)
+
+    mesh = _mesh2d()
+    ueo_s = jax.device_put(ueo, NamedSharding(mesh, P(None, None, None, None, "t", None, "m")))
+    psi_s = jax.device_put(psi, NamedSharding(mesh, S_SPEC))
+    with mesh:
+        out = f(ueo_s, psi_s)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_action_and_plaquette_sharded(fields):
+    u, _ = fields
+    mesh = _mesh2d()
+    u_s = jax.device_put(u, NamedSharding(mesh, U_SPEC))
+    s_ref = float(jax.jit(lambda u: gauge_action(u, 5.7, LAT))(u))
+    p_ref = float(jax.jit(lambda u: plaquette(u, LAT))(u))
+    with mesh:
+        s = float(jax.jit(lambda u: gauge_action(u, 5.7, LAT))(u_s))
+        p = float(jax.jit(lambda u: plaquette(u, LAT))(u_s))
+    assert abs(s - s_ref) / abs(s_ref) < 1e-12
+    assert abs(p - p_ref) < 1e-12
+
+
+def test_full_trajectory_sharded_equals_unsharded(fields):
+    """One complete HMC trajectory (heatbaths, CG forces, Metropolis) gives
+    the same dH and plaquette on 1 vs 8 devices."""
+    u, _ = fields
+    cfg = HMCConfig(
+        LAT,
+        monomials=(
+            GaugeMonomial(lat=LAT, beta=5.5, timescale=0),
+            DetMonomial(lat=LAT, params=PARAMS, timescale=1, acc_tol=1e-7, force_tol=1e-7, maxiter=300),
+        ),
+        integrator=IntegratorConfig(tau=0.5, levels=(Level("2mn", 1), Level("2mn", 2))),
+    )
+    step = jax.jit(functools.partial(hmc_trajectory, cfg))
+    key = jax.random.key(11)
+    u_ref, st_ref = step(u, key)
+
+    mesh = _mesh2d()
+    sh = NamedSharding(mesh, U_SPEC)
+    u_s = jax.device_put(u, sh)
+    step_s = jax.jit(functools.partial(hmc_trajectory, cfg), in_shardings=(sh, None))
+    with mesh:
+        u_out, st = step_s(u_s, key)
+        jax.block_until_ready(u_out)
+
+    # f32 reductions may round differently across shardings; physics-grade
+    # equality is what the reference's reproduce_randomnumber_flag promises.
+    assert abs(float(st.delta_h - st_ref.delta_h)) < 5e-3
+    assert abs(float(st.plaquette - st_ref.plaquette)) < 1e-5
+    np.testing.assert_allclose(np.asarray(u_out), np.asarray(u_ref), atol=5e-5)
+
+
+def test_rng_decomposition_independence():
+    """normal draws are identical whether or not the output is sharded
+    (threefry partitionable — the reproduce_randomnumber_flag analog)."""
+    shape = (4, 3) + LAT.site_shape
+    draw = jax.jit(lambda k: jax.random.normal(k, shape, jnp.float32))
+    ref = draw(jax.random.key(3))
+    mesh = _mesh2d()
+    draw_s = jax.jit(
+        lambda k: jax.random.normal(k, shape, jnp.float32),
+        out_shardings=NamedSharding(mesh, S_SPEC),
+    )
+    with mesh:
+        out = draw_s(jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

@@ -1,0 +1,10 @@
+"""HMC core: monomials (action terms), multi-timescale symplectic integrators,
+and the trajectory update (reference: monomial/, integrator.c, update_tm.c)."""
+
+from tmlqcd_tpu.hmc.monomials import (  # noqa: F401
+    DetMonomial,
+    DetRatioMonomial,
+    GaugeMonomial,
+)
+from tmlqcd_tpu.hmc.integrators import IntegratorConfig, Level  # noqa: F401
+from tmlqcd_tpu.hmc.trajectory import HMCConfig, TrajectoryStats, hmc_trajectory, reversibility_check  # noqa: F401

@@ -1,0 +1,290 @@
+"""Monomials: the HMC action is a sum of these (reference: monomial/monomial.c
+`monomial_list` with hbfunction/accfunction/derivativefunction pointers).
+
+Each monomial is a frozen dataclass (static under jit) exposing
+
+    heatbath(u, key)  -> (aux, S_initial)   (reference: hbfunction)
+    action(u, aux)    -> S_final            (reference: accfunction)
+    force(u, aux)     -> F  (ta field [3,3,4,T,X,Mf]; reference:
+                             derivativefunction filling `df`)
+
+TPU-native force design: every force is `jax.grad` of a (surrogate) action.
+For pseudofermion monomials S = phi^+ A(U)^{-1} phi the implicit-function
+identity dS = -X^+ dA X with X = A^{-1} phi (one solve per kick at
+ForcePrecision) turns the force into the gradient of the *linear* surrogate
+-2 Re<Y, Qhat_+(U) X> at stopped X, Y = Qhat_+ X — replacing the reference's
+hand-derived deriv_Sb.c outer-product kernels with AD through the dslash.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from tmlqcd_tpu import rng, su3
+from tmlqcd_tpu.lattice import Lattice, pack_gauge_eo
+from tmlqcd_tpu.ops import wilson as w
+from tmlqcd_tpu.ops.gauge_action import gauge_action, ta_force_from_grad
+from tmlqcd_tpu.solvers.cg import cg
+
+__all__ = ["GaugeMonomial", "DetMonomial", "DetRatioMonomial", "norm_sq_f64", "dot_re_f64"]
+
+
+def norm_sq_f64(v: jax.Array) -> jax.Array:
+    return jnp.sum(v.real.astype(jnp.float64) ** 2 + v.imag.astype(jnp.float64) ** 2)
+
+
+def dot_re_f64(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.sum(
+        a.real.astype(jnp.float64) * b.real.astype(jnp.float64)
+        + a.imag.astype(jnp.float64) * b.imag.astype(jnp.float64)
+    )
+
+
+def eo_spinor_shape(lat: Lattice) -> tuple:
+    """[4 spin, 3 color, T, X, M] — packed pseudofermion field shape."""
+    return (4, 3) + lat.eo_site_shape
+
+
+@dataclasses.dataclass(frozen=True)
+class GaugeMonomial:
+    """S_g = beta * sum [c0 (1 - ReTr P/3) + c1 (1 - ReTr R/3)]
+    (reference: monomial/gauge_monomial.c; c1 selects Wilson/tlSym/Iwasaki)."""
+
+    lat: Lattice
+    beta: float
+    c1: float = 0.0
+    timescale: int = 0
+    name: str = "gauge"
+
+    def heatbath(self, u, key):
+        return None, gauge_action(u, self.beta, self.lat, self.c1)
+
+    def action(self, u, aux):
+        return gauge_action(u, self.beta, self.lat, self.c1)
+
+    def force(self, u, aux):
+        g = jax.grad(lambda uu: gauge_action(uu, self.beta, self.lat, self.c1))(u)
+        return ta_force_from_grad(u, g)
+
+
+def _qhat_plus_full(u, psi_o, params, lat, sign=+1.0):
+    """Qhat(+-) as a function of the FULL gauge field (packs internally so
+    jax.grad w.r.t. u flows through the e/o view)."""
+    ueo = pack_gauge_eo(u, lat)
+    ph = w.boundary_phases(params, lat)
+    return w.q_hat(ueo, psi_o, params, lat, ph, sign)
+
+
+def _qhat_pm_full(u, psi_o, params, lat):
+    ueo = pack_gauge_eo(u, lat)
+    ph = w.boundary_phases(params, lat)
+    return w.q_hat_pm(ueo, psi_o, params, lat, ph)
+
+
+@dataclasses.dataclass(frozen=True)
+class DetMonomial:
+    """Two-flavor degenerate pseudofermion: S = phi^+ (Qhat_pm)^{-1} phi,
+    representing det(Qhat_pm) = |det Mhat|^2 (reference: monomial/det_monomial.c).
+
+    heatbath: eta ~ N(0,1) complex, phi = Qhat_- eta (= Qhat_+^dag eta), so
+    that with Qhat_pm = Qhat_- Qhat_+ the initial action is exactly
+    S_0 = phi^+ Qhat_pm^{-1} phi = |eta|^2.
+    """
+
+    lat: Lattice
+    params: w.DiracParams
+    timescale: int = 1
+    acc_tol: float = 1e-8
+    force_tol: float = 1e-7
+    maxiter: int = 1000
+    name: str = "det"
+
+    def heatbath(self, u, key):
+        eta = rng.normal_spinor(key, eo_spinor_shape(self.lat), u.dtype)
+        phi = _qhat_plus_full(u, eta, self.params, self.lat, -1.0)
+        return phi, norm_sq_f64(eta)
+
+    def _solve(self, u, b, tol):
+        mv = lambda x: _qhat_pm_full(u, x, self.params, self.lat)
+        return cg(mv, b, tol=tol, maxiter=self.maxiter)
+
+    def action(self, u, phi):
+        x = self._solve(u, phi, self.acc_tol).x
+        return dot_re_f64(phi, x)
+
+    def force(self, u, phi):
+        x = self._solve(u, phi, self.force_tol).x
+        y = _qhat_plus_full(u, x, self.params, self.lat, +1.0)
+        x = jax.lax.stop_gradient(x)
+        y = jax.lax.stop_gradient(y)
+
+        def surrogate(uu):
+            qx = _qhat_plus_full(uu, x, self.params, self.lat, +1.0)
+            return -2.0 * dot_re_f64(y, qx)
+
+        g = jax.grad(surrogate)(u)
+        return ta_force_from_grad(u, g)
+
+
+@dataclasses.dataclass(frozen=True)
+class DetRatioMonomial:
+    """Hasenbusch mass-preconditioning ratio
+    S = phi^+ Qhat_-(mu2) Qhat_pm(mu1)^{-1} Qhat_+(mu2) phi, representing
+    det Qhat_pm(mu1) / det Qhat_pm(mu2), mu2 > mu1
+    (reference: monomial/detratio_monomial.c; survey Appendix A Hasenbusch).
+
+    params1: the light (target) operator; params2: the heavy preconditioner.
+
+    heatbath: phi = Qhat_+(2)^{-1} Qhat_-(1) eta gives S_0 = |eta|^2 exactly
+    (reference: detratio's heatbath also solves against the preconditioner).
+    """
+
+    lat: Lattice
+    params1: w.DiracParams
+    params2: w.DiracParams
+    timescale: int = 1
+    acc_tol: float = 1e-8
+    force_tol: float = 1e-7
+    maxiter: int = 1000
+    name: str = "detratio"
+
+    def heatbath(self, u, key):
+        # phi = Qhat_+(2)^{-1} Qhat_-(1) eta, via the normal equations:
+        # phi = Qhat_pm(2)^{-1} Qhat_-(2) b with b = Qhat_-(1) eta.
+        eta = rng.normal_spinor(key, eo_spinor_shape(self.lat), u.dtype)
+        b = _qhat_plus_full(u, eta, self.params1, self.lat, -1.0)
+        b2 = _qhat_plus_full(u, b, self.params2, self.lat, -1.0)
+        mv2 = lambda x: _qhat_pm_full(u, x, self.params2, self.lat)
+        phi = cg(mv2, b2, tol=self.acc_tol, maxiter=self.maxiter).x
+        return phi, norm_sq_f64(eta)
+
+    def _psi(self, u, phi):
+        """psi = Qhat_+(mu2) phi."""
+        return _qhat_plus_full(u, phi, self.params2, self.lat, +1.0)
+
+    def action(self, u, phi):
+        psi = self._psi(u, phi)
+        mv1 = lambda x: _qhat_pm_full(u, x, self.params1, self.lat)
+        x = cg(mv1, psi, tol=self.acc_tol, maxiter=self.maxiter).x
+        return dot_re_f64(psi, x)
+
+    def force(self, u, phi):
+        psi = self._psi(u, phi)
+        mv1 = lambda x: _qhat_pm_full(u, x, self.params1, self.lat)
+        x = cg(mv1, psi, tol=self.force_tol, maxiter=self.maxiter).x
+        y = _qhat_plus_full(u, x, self.params1, self.lat, +1.0)
+        phi_s = jax.lax.stop_gradient(phi)
+        x = jax.lax.stop_gradient(x)
+        y = jax.lax.stop_gradient(y)
+
+        def surrogate(uu):
+            # dS = 2Re<x, dQhat_+(2) phi> - 2Re<y, dQhat_+(1) x>
+            # (S = phi^+ Q_-(2) A^{-1} Q_+(2) phi, X = A^{-1} Q_+(2) phi,
+            #  Y = Qhat_+(1) X; the dA term is the implicit-solve identity.)
+            t2 = _qhat_plus_full(uu, phi_s, self.params2, self.lat, +1.0)
+            t1 = _qhat_plus_full(uu, x, self.params1, self.lat, +1.0)
+            return 2.0 * dot_re_f64(x, t2) - 2.0 * dot_re_f64(y, t1)
+
+        g = jax.grad(surrogate)(u)
+        return ta_force_from_grad(u, g)
+
+
+# ---------------------------------------------------------------------------
+# Clover monomials (reference: monomial/cloverdet_monomial.c,
+# clovertrlog_monomial.c; survey §2.7)
+# ---------------------------------------------------------------------------
+
+
+def _clover_ops(u, params, lat):
+    """Hoisted per-U operator state: packed links + clover blocks (computed
+    ONCE per U, closed over by the CG matvec so the while_loop body does not
+    recompute them every iteration — the analog of the reference refreshing
+    sw_term/sw_invert once per gauge update)."""
+    from tmlqcd_tpu.ops import clover as cl
+
+    ueo = pack_gauge_eo(u, lat)
+    ph = w.boundary_phases(params, lat)
+    sw_e, sw_o = cl.sw_blocks_eo(u, params.kappa, params.c_sw, lat)
+
+    def qpm(x):
+        return cl.q_hat_pm_clover(ueo, sw_e, sw_o, x, params, lat, ph)
+
+    def qplus(x, sign=+1.0):
+        return cl.q_hat_clover(ueo, sw_e, sw_o, x, params, lat, ph, sign)
+
+    return qpm, qplus
+
+
+@dataclasses.dataclass(frozen=True)
+class CloverDetMonomial:
+    """Two-flavor twisted-clover pseudofermion: S = phi^+ (Qsw_pm)^{-1} phi
+    (reference: monomial/cloverdet_monomial.c).  The clover force — the
+    reference's sw_deriv/sw_spinor/sw_all machinery — is jax.grad through
+    sw_blocks inside the surrogate.  Pair with CloverTrlogMonomial for the
+    det(M_ee) factor."""
+
+    lat: Lattice
+    params: w.DiracParams
+    timescale: int = 1
+    acc_tol: float = 1e-8
+    force_tol: float = 1e-7
+    maxiter: int = 1000
+    name: str = "cloverdet"
+
+    def heatbath(self, u, key):
+        qpm, qplus = _clover_ops(u, self.params, self.lat)
+        eta = rng.normal_spinor(key, eo_spinor_shape(self.lat), u.dtype)
+        phi = qplus(eta, -1.0)
+        return phi, norm_sq_f64(eta)
+
+    def action(self, u, phi):
+        qpm, _ = _clover_ops(u, self.params, self.lat)
+        x = cg(qpm, phi, tol=self.acc_tol, maxiter=self.maxiter).x
+        return dot_re_f64(phi, x)
+
+    def force(self, u, phi):
+        qpm, qplus = _clover_ops(u, self.params, self.lat)
+        x = cg(qpm, phi, tol=self.force_tol, maxiter=self.maxiter).x
+        y = qplus(x, +1.0)
+        x = jax.lax.stop_gradient(x)
+        y = jax.lax.stop_gradient(y)
+
+        def surrogate(uu):
+            _, qplus_u = _clover_ops(uu, self.params, self.lat)
+            return -2.0 * dot_re_f64(y, qplus_u(x, +1.0))
+
+        g = jax.grad(surrogate)(u)
+        return ta_force_from_grad(u, g)
+
+
+@dataclasses.dataclass(frozen=True)
+class CloverTrlogMonomial:
+    """S = -log |det M_ee(+mu)|^2 summed over even sites — the even/even
+    factor of the e/o-preconditioned two-flavor clover determinant
+    (reference: monomial/clovertrlog_monomial.c).  Exact action (no solve);
+    force by autodiff through the closed-form block determinants."""
+
+    lat: Lattice
+    params: w.DiracParams
+    timescale: int = 0
+    name: str = "clovertrlog"
+
+    def _action(self, u):
+        from tmlqcd_tpu.ops import clover as cl
+
+        sw_e, _ = cl.sw_blocks_eo(u, self.params.kappa, self.params.c_sw, self.lat)
+        return -cl.sw_logdet(sw_e, self.params.mutld, +1.0)
+
+    def heatbath(self, u, key):
+        return None, self._action(u)
+
+    def action(self, u, aux):
+        return self._action(u)
+
+    def force(self, u, aux):
+        g = jax.grad(self._action)(u)
+        return ta_force_from_grad(u, g)

@@ -1,0 +1,110 @@
+"""One HMC trajectory: momentum heatbath, pseudofermion heatbaths, MD
+integration, Metropolis accept/reject — plus the reversibility self-check.
+
+Reference: update_tm.c `update_tm(...)` (survey §3.2 call stack).
+
+TPU-native shape: the whole trajectory is a pure function
+(U, key) -> (U', stats), jittable and shardable; the Metropolis decision is a
+replicated scalar (reference: rank-0 ranlxd draw + MPI_Bcast).  Parallel
+chains are just `jax.vmap` of this function over a leading chain axis
+(survey §2.11 "replica parallelism" — a genuine improvement on the reference,
+which runs chains as separate jobs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tmlqcd_tpu import rng, su3
+from tmlqcd_tpu.hmc.integrators import IntegratorConfig, integrate
+from tmlqcd_tpu.ops.gauge_action import plaquette
+
+__all__ = ["HMCConfig", "TrajectoryStats", "hmc_trajectory", "reversibility_check"]
+
+
+@dataclasses.dataclass(frozen=True)
+class HMCConfig:
+    """Static configuration of the sampler: lattice + action (monomial list) +
+    integrator. Monomials carry their own solver settings."""
+
+    lat: object
+    monomials: tuple
+    integrator: IntegratorConfig
+
+
+class TrajectoryStats(NamedTuple):
+    """Per-trajectory observables — the output.data column contract
+    (reference: survey §5.5: plaquette, dH, exp(-dH), accept flag)."""
+
+    plaquette: jax.Array
+    delta_h: jax.Array
+    exp_mdh: jax.Array
+    accepted: jax.Array
+    h_old: jax.Array
+    h_new: jax.Array
+
+
+def _heatbaths(cfg: HMCConfig, u, key):
+    aux_list = []
+    s_old = jnp.asarray(0.0, jnp.float64)
+    for i, m in enumerate(cfg.monomials):
+        aux, s0 = m.heatbath(u, rng.fold(key, 1000 + i))
+        aux_list.append(aux)
+        s_old = s_old + s0
+    return aux_list, s_old
+
+
+def hmc_trajectory(cfg: HMCConfig, u: jax.Array, key: jax.Array):
+    """(U, key) -> (U', TrajectoryStats). Jit with cfg static:
+    ``jax.jit(hmc_trajectory, static_argnums=0)`` or close over cfg."""
+    k_mom, k_pf, k_acc = jax.random.split(key, 3)
+
+    p = su3.random_momenta(k_mom, u.shape[2:], u.dtype)
+    aux_list, s_old = _heatbaths(cfg, u, k_pf)
+    h_old = su3.kinetic_energy(p) + s_old
+
+    u_new, p_new = integrate(cfg.integrator, cfg.monomials, aux_list, u, p)
+
+    s_new = jnp.asarray(0.0, jnp.float64)
+    for i, m in enumerate(cfg.monomials):
+        s_new = s_new + m.action(u_new, aux_list[i])
+    h_new = su3.kinetic_energy(p_new) + s_new
+
+    dh = h_new - h_old
+    accept = rng.uniform(k_acc).astype(jnp.float64) < jnp.exp(-dh)
+    u_out = jnp.where(accept, u_new, u)
+
+    stats = TrajectoryStats(
+        plaquette=plaquette(u_out, cfg.lat),
+        delta_h=dh,
+        exp_mdh=jnp.exp(-dh),
+        accepted=accept,
+        h_old=h_old,
+        h_new=h_new,
+    )
+    return u_out, stats
+
+
+def reversibility_check(cfg: HMCConfig, u: jax.Array, key: jax.Array):
+    """Integrate forward, flip momenta, integrate back; report |ddH| and the
+    max gauge-field deviation (reference: update_tm.c `ReversibilityCheck`
+    input / `return_check`)."""
+    k_mom, k_pf = jax.random.split(key)
+    p = su3.random_momenta(k_mom, u.shape[2:], u.dtype)
+    aux_list, s_old = _heatbaths(cfg, u, k_pf)
+    h_old = su3.kinetic_energy(p) + s_old
+
+    u1, p1 = integrate(cfg.integrator, cfg.monomials, aux_list, u, p)
+    u2, p2 = integrate(cfg.integrator, cfg.monomials, aux_list, u1, -p1)
+
+    s_back = jnp.asarray(0.0, jnp.float64)
+    for i, m in enumerate(cfg.monomials):
+        s_back = s_back + m.action(u2, aux_list[i])
+    h_back = su3.kinetic_energy(p2) + s_back
+
+    du = jnp.max(jnp.abs(u2 - u))
+    return jnp.abs(h_back - h_old), du
