@@ -75,9 +75,12 @@ def test_action_and_plaquette_sharded(fields):
     assert abs(p - p_ref) < 1e-12
 
 
+@pytest.mark.slow
 def test_full_trajectory_sharded_equals_unsharded(fields):
     """One complete HMC trajectory (heatbaths, CG forces, Metropolis) gives
-    the same dH and plaquette on 1 vs 8 devices."""
+    the same dH and plaquette on 1 vs 8 devices.  GSPMD-compiling the whole
+    trajectory on CPU takes minutes — marked slow; the driver's
+    dryrun_multichip exercises the same path every round."""
     u, _ = fields
     cfg = HMCConfig(
         LAT,

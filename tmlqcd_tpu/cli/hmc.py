@@ -1,0 +1,116 @@
+"""HMC driver: the `hmc_tm -f input` equivalent.
+
+Reference: hmc_tm.c main() (survey §3.1 call stack): read input -> init ->
+start config (hot/cold/continue) -> trajectory loop with output.data logging,
+periodic measurements, checkpoints every NSave, reversibility checks.
+
+Usage:
+    python -m tmlqcd_tpu.cli.hmc -f sample.input [-o rundir]
+
+output.data column contract (reference: survey §5.5, one line per
+trajectory): traj plaquette rectangle dH exp(-dH) accept seconds
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native twisted-mass HMC")
+    ap.add_argument("-f", "--input", required=True, help="tmLQCD-style input file")
+    ap.add_argument("-o", "--output-dir", default=None, help="run directory")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from tmlqcd_tpu import su3
+    from tmlqcd_tpu.config import build_hmc
+    from tmlqcd_tpu.config_tmlqcd import read_input
+    from tmlqcd_tpu.hmc import hmc_trajectory, reversibility_check
+    from tmlqcd_tpu.io.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+    from tmlqcd_tpu.meas.runner import run_measurements
+    from tmlqcd_tpu.ops.gauge_action import rectangle
+
+    cfg = read_input(args.input)
+    run_dir = args.output_dir or cfg.output_dir
+    os.makedirs(run_dir, exist_ok=True)
+    hmc = build_hmc(cfg)
+    lat = cfg.lat
+
+    key = jax.random.key(cfg.seed)
+    start_traj = 0
+    if cfg.start_condition == "continue":
+        info = latest_checkpoint(run_dir)
+        if info is None:
+            print(f"[hmc] no checkpoint in {run_dir}, falling back to hot start")
+            u = su3.random_su3(jax.random.fold_in(key, 0), (4,) + lat.site_shape)
+        else:
+            arr, start_traj, _ = load_checkpoint(info.path, lat)
+            u = jnp.asarray(arr)
+            print(f"[hmc] resumed at trajectory {start_traj} from {info.path}")
+    elif cfg.start_condition == "cold":
+        u = jnp.broadcast_to(
+            jnp.eye(3, dtype=jnp.complex64).reshape(3, 3, 1, 1, 1, 1),
+            (3, 3, 4) + lat.site_shape,
+        )
+    else:  # hot
+        u = su3.random_su3(jax.random.fold_in(key, 0), (4,) + lat.site_shape)
+
+    step = jax.jit(functools.partial(hmc_trajectory, hmc))
+    rect_fn = jax.jit(lambda u: rectangle(u, lat))
+    out_path = os.path.join(run_dir, "output.data")
+    out = open(out_path, "a", buffering=1)
+
+    n_acc = 0
+    for traj in range(start_traj, start_traj + cfg.measurements):
+        t0 = time.perf_counter()
+        u, st = step(u, jax.random.fold_in(key, traj + 1))
+        jax.block_until_ready(u)
+        dt = time.perf_counter() - t0
+        acc = int(st.accepted)
+        n_acc += acc
+        line = (
+            f"{traj:08d} {float(st.plaquette):.12f} {float(rect_fn(u)):.12f} "
+            f"{float(st.delta_h):+.6e} {float(st.exp_mdh):.6e} {acc} {dt:.3f}"
+        )
+        out.write(line + "\n")
+        if cfg.debug_level >= 1:
+            print(f"[traj {traj}] plaq={float(st.plaquette):.6f} "
+                  f"dH={float(st.delta_h):+.4f} acc={acc} ({dt:.1f}s)")
+
+        run_measurements(cfg, u, lat, traj, run_dir, key)
+
+        if cfg.reversibility_check and (traj + 1) % cfg.reversibility_interval == 0:
+            ddh, du = jax.jit(functools.partial(reversibility_check, hmc))(
+                u, jax.random.fold_in(key, -traj - 1)
+            )
+            print(f"[traj {traj}] reversibility: |ddH|={float(ddh):.3e} "
+                  f"max|dU|={float(du):.3e}")
+
+        if (traj + 1) % cfg.nsave == 0 or traj == start_traj + cfg.measurements - 1:
+            path = save_checkpoint(
+                run_dir, u, traj + 1, cfg.seed, lat,
+                fmt=cfg.checkpoint_format, plaquette=float(st.plaquette),
+                beta=cfg.beta,
+            )
+            if cfg.debug_level >= 1:
+                print(f"[traj {traj}] checkpoint -> {path}")
+
+    out.close()
+    total = cfg.measurements
+    print(f"[hmc] done: {total} trajectories, acceptance {n_acc/max(total,1):.2%}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,230 @@
+"""Typed run configuration: the runtime API surface of the framework.
+
+Reference: read_input.l (the flex input lexer) + default_input_values.h —
+survey §2.10/Appendix B: the ENTIRE runtime API of the reference is its
+input schema (global `Key = value` pairs + BeginMonomial/BeginOperator/
+BeginMeasurement blocks).  Here the schema is typed dataclasses; an optional
+tmLQCD-input compatibility reader lives in tmlqcd_tpu.config_tmlqcd.
+
+`build_hmc()` lowers a RunConfig to the executable HMCConfig (monomial
+objects + integrator) — the analog of the reference wiring monomial_list
+from the parsed input.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from tmlqcd_tpu.hmc import (
+    CloverDetMonomial,
+    CloverTrlogMonomial,
+    DetMonomial,
+    DetRatioMonomial,
+    GaugeMonomial,
+    HMCConfig,
+    IntegratorConfig,
+    Level,
+    NDRatMonomial,
+)
+from tmlqcd_tpu.lattice import Lattice
+from tmlqcd_tpu.ops.ndoublet import NDParams
+from tmlqcd_tpu.ops.wilson import DiracParams
+
+__all__ = [
+    "MonomialSpec",
+    "IntegratorSpec",
+    "MeasurementSpec",
+    "OperatorSpec",
+    "RunConfig",
+    "build_hmc",
+]
+
+# gauge action c1 coefficients by name (reference: g_rgi_C1 input)
+GAUGE_ACTIONS = {
+    "wilson": 0.0,
+    "tlsym": -1.0 / 12.0,
+    "iwasaki": -0.331,
+    "dbw2": -1.4088,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class MonomialSpec:
+    """One BeginMonomial block (reference: monomial/monomial.h fields)."""
+
+    type: str  # GAUGE | DET | DETRATIO | CLOVERDET | CLOVERTRLOG | NDRAT
+    timescale: int = 0
+    kappa: float = 0.0
+    two_kappa_mu: float = 0.0  # 2KappaMu
+    two_kappa_mu2: float = 0.0  # 2KappaMu2 (DETRATIO preconditioner)
+    csw: float = 0.0
+    two_kappa_mubar: float = 0.0  # 2Kappamubar (NDRAT)
+    two_kappa_epsbar: float = 0.0  # 2Kappaepsbar (NDRAT)
+    rat_order: int = 12
+    stilde_min: float = 1e-4
+    stilde_max: float = 4.0
+    acceptance_precision: float = 1e-18  # |r|^2 tolerances (reference naming)
+    force_precision: float = 1e-16
+    max_solver_iterations: int = 5000
+    name: str = ""
+
+
+@dataclasses.dataclass(frozen=True)
+class IntegratorSpec:
+    """Global integrator keys (reference: tau, NumberTimeScales,
+    IntegrationSteps[i], 2MN | LEAPFROG types)."""
+
+    tau: float = 1.0
+    steps: tuple[int, ...] = (10,)
+    types: tuple[str, ...] = ()  # default: all "2MN"
+    lambda_2mn: Optional[float] = None
+
+    def levels(self) -> tuple[Level, ...]:
+        types = self.types or tuple("2MN" for _ in self.steps)
+        return tuple(
+            Level("leapfrog" if t.upper() == "LEAPFROG" else "2mn", n)
+            for t, n in zip(types, self.steps)
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class MeasurementSpec:
+    """One BeginMeasurement block."""
+
+    type: str  # ONLINE | GRADIENTFLOW | POLYAKOV | ORIENTEDPLAQUETTES
+    frequency: int = 1
+    kappa: float = 0.0
+    two_kappa_mu: float = 0.0
+    flow_eps: float = 0.02
+    flow_steps: int = 50
+    direction: int = 0
+    max_solver_iterations: int = 5000
+    precision: float = 1e-18
+
+
+@dataclasses.dataclass(frozen=True)
+class OperatorSpec:
+    """One BeginOperator block (for invert; reference: operator.c types)."""
+
+    type: str  # TMWILSON | WILSON | CLOVER | DBTMWILSON
+    kappa: float = 0.0
+    two_kappa_mu: float = 0.0
+    csw: float = 0.0
+    solver: str = "cg"  # cg | mixedcg
+    precision: float = 1e-18
+    max_solver_iterations: int = 5000
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """Global run configuration (reference: the global Key = value section)."""
+
+    t: int = 4
+    lx: int = 4
+    ly: int = 4
+    lz: int = 4
+    seed: int = 42
+    measurements: int = 10  # number of trajectories (reference key name)
+    nsave: int = 10
+    start_condition: str = "hot"  # hot | cold | continue
+    beta: float = 5.7
+    gauge_action: str = "wilson"  # wilson | tlsym | iwasaki | dbw2
+    integrator: IntegratorSpec = IntegratorSpec()
+    monomials: tuple[MonomialSpec, ...] = ()
+    operators: tuple[OperatorSpec, ...] = ()
+    meas: tuple[MeasurementSpec, ...] = ()
+    reversibility_check: bool = False
+    reversibility_interval: int = 100
+    debug_level: int = 1
+    output_dir: str = "."
+    checkpoint_format: str = "native"  # native | ildg
+
+    @property
+    def lat(self) -> Lattice:
+        return Lattice((self.t, self.lx, self.ly, self.lz))
+
+
+def _mu(two_kappa_mu: float, kappa: float) -> float:
+    return two_kappa_mu / (2.0 * kappa) if kappa else 0.0
+
+
+def build_monomial(spec: MonomialSpec, lat: Lattice, beta: float, c1: float):
+    """Lower one MonomialSpec to an executable monomial object
+    (reference: add_monomial + the per-type init in monomial.c)."""
+    ty = spec.type.upper()
+    tol_acc = float(spec.acceptance_precision) ** 0.5  # reference stores |r|^2
+    tol_force = float(spec.force_precision) ** 0.5
+    common = dict(
+        timescale=spec.timescale,
+        acc_tol=tol_acc,
+        force_tol=tol_force,
+        maxiter=spec.max_solver_iterations,
+    )
+    if ty == "GAUGE":
+        return GaugeMonomial(lat=lat, beta=beta, c1=c1, timescale=spec.timescale)
+    if ty == "DET":
+        return DetMonomial(
+            lat=lat,
+            params=DiracParams(kappa=spec.kappa, mu=_mu(spec.two_kappa_mu, spec.kappa)),
+            name=spec.name or "det",
+            **common,
+        )
+    if ty == "DETRATIO":
+        return DetRatioMonomial(
+            lat=lat,
+            params1=DiracParams(kappa=spec.kappa, mu=_mu(spec.two_kappa_mu, spec.kappa)),
+            params2=DiracParams(kappa=spec.kappa, mu=_mu(spec.two_kappa_mu2, spec.kappa)),
+            name=spec.name or "detratio",
+            **common,
+        )
+    if ty == "CLOVERDET":
+        return CloverDetMonomial(
+            lat=lat,
+            params=DiracParams(
+                kappa=spec.kappa, mu=_mu(spec.two_kappa_mu, spec.kappa), c_sw=spec.csw
+            ),
+            name=spec.name or "cloverdet",
+            **common,
+        )
+    if ty == "CLOVERTRLOG":
+        return CloverTrlogMonomial(
+            lat=lat,
+            params=DiracParams(
+                kappa=spec.kappa, mu=_mu(spec.two_kappa_mu, spec.kappa), c_sw=spec.csw
+            ),
+            timescale=spec.timescale,
+            name=spec.name or "clovertrlog",
+        )
+    if ty == "NDRAT":
+        return NDRatMonomial(
+            lat=lat,
+            params=NDParams(
+                kappa=spec.kappa,
+                mubar=_mu(spec.two_kappa_mubar, spec.kappa),
+                epsbar=_mu(spec.two_kappa_epsbar, spec.kappa),
+                c_sw=spec.csw,
+            ),
+            order=spec.rat_order,
+            s_min=spec.stilde_min,
+            s_max=spec.stilde_max,
+            name=spec.name or "ndrat",
+            **common,
+        )
+    raise ValueError(f"unknown monomial type {spec.type!r}")
+
+
+def build_hmc(cfg: RunConfig) -> HMCConfig:
+    """RunConfig -> executable HMCConfig."""
+    lat = cfg.lat
+    c1 = GAUGE_ACTIONS[cfg.gauge_action.lower()]
+    specs = cfg.monomials or (MonomialSpec(type="GAUGE"),)
+    monomials = tuple(build_monomial(s, lat, cfg.beta, c1) for s in specs)
+    integ = IntegratorConfig(tau=cfg.integrator.tau, levels=cfg.integrator.levels())
+    n_levels = len(integ.levels)
+    for m in monomials:
+        if m.timescale >= n_levels:
+            raise ValueError(
+                f"monomial {m.name} timescale {m.timescale} >= {n_levels} levels"
+            )
+    return HMCConfig(lat=lat, monomials=monomials, integrator=integ)

@@ -2,9 +2,12 @@
 and the trajectory update (reference: monomial/, integrator.c, update_tm.c)."""
 
 from tmlqcd_tpu.hmc.monomials import (  # noqa: F401
+    CloverDetMonomial,
+    CloverTrlogMonomial,
     DetMonomial,
     DetRatioMonomial,
     GaugeMonomial,
 )
+from tmlqcd_tpu.hmc.rational_monomials import NDRatMonomial  # noqa: F401
 from tmlqcd_tpu.hmc.integrators import IntegratorConfig, Level  # noqa: F401
 from tmlqcd_tpu.hmc.trajectory import HMCConfig, TrajectoryStats, hmc_trajectory, reversibility_check  # noqa: F401

@@ -1,0 +1,130 @@
+"""Rational (RHMC) monomials for the non-degenerate doublet — det weight
+det(Q_nd^2)^{1/2} = |det Q_nd| of the strange/charm sector.
+
+Reference: monomial/ndrat_monomial.c (+ ndratcor), rational/rational.c,
+solver/cg_mms_tm_nd.c; survey §2.7 "Rational (RHMC) monomials".
+
+Scheme (see tmlqcd_tpu.solvers.rational for the construction):
+
+    S = phi^+ R(Q^2) phi,   R(x) = sum_j rho_j/(x + sigma_j) ~ x^{-1/2},
+
+so the sampled weight is det R(Q^2)^{-1} ~ det(Q^2)^{1/2}.  One multishift
+CG per heatbath / acceptance / force:
+
+  * heatbath: phi = B(Q) eta with B^+B = R^{-1} exactly (first-order
+    factorization, reference: rat.nu shifts) — S_0 = |eta|^2 exactly.
+  * acceptance: S = sum_j rho_j <phi, (Q^2+sigma_j)^{-1} phi>.
+  * force: dS = -sum_j rho_j * 2 Re<y_j, dQ x_j>, x_j = (Q^2+sigma_j)^{-1}phi,
+    y_j = Q x_j — an AD surrogate linear in Q(U) at stopped x_j, y_j
+    (replacing the reference's per-shift deriv_Sb/sw_deriv accumulations).
+
+The approximation interval [s_min, s_max] must bracket spec(Q_nd^2);
+`tmlqcd_tpu.solvers.eigen` estimates the bounds (reference: input
+StildeMin/StildeMax + the Jacobi-Davidson check in phmc/ndrat init).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tmlqcd_tpu import rng
+from tmlqcd_tpu.hmc.monomials import dot_re_f64, norm_sq_f64
+from tmlqcd_tpu.lattice import Lattice, pack_gauge_eo
+from tmlqcd_tpu.ops import ndoublet as nd
+from tmlqcd_tpu.ops.gauge_action import ta_force_from_grad
+from tmlqcd_tpu.ops.wilson import boundary_phases
+from tmlqcd_tpu.solvers.multishift import cg_multishift
+from tmlqcd_tpu.solvers.rational import RationalApprox, rational_invsqrt
+
+__all__ = ["NDRatMonomial"]
+
+
+def _nd_spinor_shape(lat: Lattice) -> tuple:
+    return (2, 4, 3) + lat.eo_site_shape
+
+
+@dataclasses.dataclass(frozen=True)
+class NDRatMonomial:
+    """Nf=1+1 rational monomial (reference: BeginMonomial NDRAT with
+    2Kappamubar/2Kappaepsbar, RationalOrder, StildeMin/StildeMax,
+    Timescale...)."""
+
+    lat: Lattice
+    params: nd.NDParams
+    order: int = 12
+    s_min: float = 1e-4  # lower spectral bound of Q_nd^2 (2k-normalized)
+    s_max: float = 4.0  # upper spectral bound
+    timescale: int = 1
+    acc_tol: float = 1e-9
+    force_tol: float = 1e-8
+    maxiter: int = 2000
+    name: str = "ndrat"
+
+    @property
+    def rat(self) -> RationalApprox:
+        return rational_invsqrt(self.order, self.s_min, self.s_max)
+
+    def _q(self, u, chi):
+        """Q_nd chi as a function of the FULL gauge field (differentiable:
+        jax.grad w.r.t. u flows through the e/o packing)."""
+        ph = boundary_phases(self.params.wilson, self.lat)
+        ueo = pack_gauge_eo(u, self.lat)
+        return nd.q_nd(ueo, chi, self.params, self.lat, ph)
+
+    def _mms(self, u, b, shifts: np.ndarray, tol: float):
+        """Multishift solve (Q^2 + shift_k) x_k = b for all k."""
+        mv = lambda x: self._q(u, self._q(u, x))
+        return cg_multishift(mv, b, jnp.asarray(shifts), tol=tol, maxiter=self.maxiter).x
+
+    def heatbath(self, u, key):
+        rat = self.rat
+        alpha, gamma, beta_n, rho_lead = rat.heatbath_parts()
+        eta = rng.normal_spinor(key, _nd_spinor_shape(self.lat), u.dtype)
+        # x_l = (Q^2 + alpha_l^2)^{-1} eta ; shifts alpha^2 = numerator roots
+        xs = self._mms(u, eta, rat.a_roots, self.acc_tol)
+        # v = eta + sum_l gamma_l (Q - i alpha_l) x_l
+        cdt = eta.dtype
+        gsum = jnp.zeros_like(eta)
+        gasum = jnp.zeros_like(eta)
+        for el in range(rat.order - 1):
+            g = jnp.asarray(gamma[el], cdt)
+            ga = jnp.asarray(gamma[el] * (-1j) * alpha[el], cdt)
+            gsum = gsum + g * xs[el]
+            gasum = gasum + ga * xs[el]
+        v = eta + self._q(u, gsum) + gasum
+        # phi = (Q + i beta_N) v / sqrt(rhoL)
+        ibeta = jnp.asarray(1j * beta_n, cdt)
+        phi = (self._q(u, v) + ibeta * v) * jnp.asarray(
+            1.0 / np.sqrt(rho_lead), v.real.dtype
+        )
+        return phi, norm_sq_f64(eta)
+
+    def action(self, u, phi):
+        rat = self.rat
+        xs = self._mms(u, phi, rat.sigma, self.acc_tol)
+        s = jnp.asarray(0.0, jnp.float64)
+        for j in range(rat.order):
+            s = s + jnp.asarray(rat.rho[j], jnp.float64) * dot_re_f64(phi, xs[j])
+        return s
+
+    def force(self, u, phi):
+        rat = self.rat
+        xs = self._mms(u, phi, rat.sigma, self.force_tol)
+        ys = jnp.stack([self._q(u, xs[j]) for j in range(rat.order)])
+        xs = jax.lax.stop_gradient(xs)
+        ys = jax.lax.stop_gradient(ys)
+
+        def surrogate(uu):
+            s = jnp.asarray(0.0, jnp.float64)
+            for j in range(rat.order):
+                s = s - 2.0 * jnp.asarray(rat.rho[j], jnp.float64) * dot_re_f64(
+                    ys[j], self._q(uu, xs[j])
+                )
+            return s
+
+        g = jax.grad(surrogate)(u)
+        return ta_force_from_grad(u, g)

@@ -1,0 +1,118 @@
+"""Propagator inversion — the "serving" path: solve M x = b on the full
+lattice via even/odd Schur preconditioning + Krylov solvers.
+
+Reference: invert_eo.c (`invert_eo`: source transform, odd solve,
+even reconstruction), invert.c driver, operator.c registry (survey §3.3).
+
+Pipeline for the twisted-mass (clover) Wilson operator M (2k normalization):
+
+    M = [[M_ee, M_eo], [M_oe, M_oo]],  M_eo = -kappa H_eo
+    1. bhat   = b_o - M_oe M_ee^{-1} b_e
+    2. solve  Mhat x_o = bhat  via the normal equations
+              Qhat_pm x_o = Qhat_- g5 bhat       (CG / mixed CG)
+    3. x_e    = M_ee^{-1} (b_e - M_eo x_o)
+
+The whole inversion jits to a single XLA program; sources/solutions are full
+lattice spinors [4, 3, T, X, Y*Z].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from tmlqcd_tpu.gamma import apply_gamma5
+from tmlqcd_tpu.lattice import EVEN, ODD, Lattice, eo_pack, eo_unpack, pack_gauge_eo
+from tmlqcd_tpu.ops import wilson as w
+from tmlqcd_tpu.solvers.cg import cg
+from tmlqcd_tpu.solvers.mixed_cg import mixed_cg
+
+__all__ = ["InvertResult", "invert_eo", "invert_clover_eo"]
+
+
+@dataclasses.dataclass
+class InvertResult:
+    x: jax.Array  # full-lattice solution [4,3,T,X,Mf]
+    iterations: jax.Array
+    residual_sq: jax.Array  # normal-equation residual of the odd solve
+
+
+def invert_eo(
+    u: jax.Array,
+    b: jax.Array,
+    params: w.DiracParams,
+    lat: Lattice,
+    tol: float = 1e-10,
+    maxiter: int = 5000,
+    solver: str = "cg",
+) -> InvertResult:
+    """Solve M(params) x = b (full lattice) for the twisted-mass Wilson
+    operator (reference: invert_eo.c).  solver: 'cg' | 'mixedcg'."""
+    ueo = pack_gauge_eo(u, lat)
+    ph = w.boundary_phases(params, lat)
+    kappa = jnp.asarray(params.kappa, b.real.dtype)
+
+    b_e, b_o = eo_pack(b, lat)
+    # bhat = b_o - M_oe Mee^{-1} b_e ;  M_oe = -kappa H_oe
+    t = w.mee_inv_packed(b_e, params.mutld, +1.0)
+    bhat = b_o + kappa * w.dslash_packed(ueo, t, ODD, lat, ph)
+
+    qpm = lambda x: w.q_hat_pm(ueo, x, params, lat, ph)
+    rhs = w.q_hat(ueo, apply_gamma5(bhat), params, lat, ph, -1.0)
+
+    if solver == "mixedcg":
+        res = mixed_cg(qpm, rhs, tol=tol, max_inner=maxiter)
+        x_o, iters, rsq = res.x, res.inner_iterations, res.residual_sq
+    else:
+        res = cg(qpm, rhs, tol=tol, maxiter=maxiter)
+        x_o, iters, rsq = res.x, res.iterations, res.residual_sq
+
+    # x_e = Mee^{-1} (b_e - M_eo x_o) = Mee^{-1} (b_e + kappa H_eo x_o)
+    x_e = w.mee_inv_packed(
+        b_e + kappa * w.dslash_packed(ueo, x_o, EVEN, lat, ph), params.mutld, +1.0
+    )
+    return InvertResult(x=eo_unpack(x_e, x_o, lat), iterations=iters, residual_sq=rsq)
+
+
+def invert_clover_eo(
+    u: jax.Array,
+    b: jax.Array,
+    params: w.DiracParams,
+    lat: Lattice,
+    tol: float = 1e-10,
+    maxiter: int = 5000,
+    solver: str = "cg",
+) -> InvertResult:
+    """Twisted-clover inversion (reference: invert_clover_eo.c): same Schur
+    pipeline with the clover M_ee/M_oo blocks."""
+    from tmlqcd_tpu.ops import clover as cl
+
+    ueo = pack_gauge_eo(u, lat)
+    ph = w.boundary_phases(params, lat)
+    kappa = jnp.asarray(params.kappa, b.real.dtype)
+    sw_e, sw_o = cl.sw_blocks_eo(u, params.kappa, params.c_sw, lat)
+
+    b_e, b_o = eo_pack(b, lat)
+    t = cl.sw_inv_apply(sw_e, b_e, params.mutld, +1.0)
+    bhat = b_o + kappa * w.dslash_packed(ueo, t, ODD, lat, ph)
+
+    qpm = lambda x: cl.q_hat_pm_clover(ueo, sw_e, sw_o, x, params, lat, ph)
+    rhs = cl.q_hat_clover(ueo, sw_e, sw_o, apply_gamma5(bhat), params, lat, ph, -1.0)
+
+    if solver == "mixedcg":
+        res = mixed_cg(qpm, rhs, tol=tol, max_inner=maxiter)
+        x_o, iters, rsq = res.x, res.inner_iterations, res.residual_sq
+    else:
+        res = cg(qpm, rhs, tol=tol, maxiter=maxiter)
+        x_o, iters, rsq = res.x, res.iterations, res.residual_sq
+
+    x_e = cl.sw_inv_apply(
+        sw_e,
+        b_e + kappa * w.dslash_packed(ueo, x_o, EVEN, lat, ph),
+        params.mutld,
+        +1.0,
+    )
+    return InvertResult(x=eo_unpack(x_e, x_o, lat), iterations=iters, residual_sq=rsq)

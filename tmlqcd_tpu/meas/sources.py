@@ -1,0 +1,56 @@
+"""Source generation for propagator inversions and online measurements.
+
+Reference: source_generation.c / prepare_source.c (point, timeslice-Z2,
+volume, gaussian sources; input keys SourceType/SourceTimeslice/...),
+survey §2.9.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tmlqcd_tpu import rng
+from tmlqcd_tpu.lattice import Lattice
+
+__all__ = ["point_source", "z2_timeslice_source", "volume_source", "gaussian_timeslice_source"]
+
+
+def point_source(
+    lat: Lattice, spin: int, color: int, site: tuple[int, int, int, int] = (0, 0, 0, 0),
+    dtype=jnp.complex64,
+) -> jax.Array:
+    """delta source at (t,x,y,z) for one spin-color component
+    (reference: source_generation.c point source per spin-color)."""
+    t, x, y, z = site
+    m = y * lat.dims[3] + z
+    src = jnp.zeros((4, 3) + lat.site_shape, dtype)
+    return src.at[spin, color, t, x, m].set(jnp.asarray(1.0, dtype))
+
+
+def z2_timeslice_source(
+    lat: Lattice, timeslice: int, key: jax.Array, dtype=jnp.complex64, spin_dilute: int | None = None
+) -> jax.Array:
+    """Z2xZ2 stochastic wall source on one timeslice (reference: the ONLINE
+    measurement's source; optionally diluted to a single spin row)."""
+    noise = rng.z2_spinor(key, (4, 3) + lat.site_shape, dtype)
+    mask = jnp.zeros((lat.dims[0],), noise.real.dtype).at[timeslice].set(1.0)
+    src = noise * mask.reshape(1, 1, -1, 1, 1)
+    if spin_dilute is not None:
+        smask = jnp.zeros((4,), noise.real.dtype).at[spin_dilute].set(1.0)
+        src = src * smask.reshape(4, 1, 1, 1, 1)
+    return src
+
+
+def volume_source(lat: Lattice, key: jax.Array, dtype=jnp.complex64) -> jax.Array:
+    """Z2 volume source (reference: volume sources for disconnected loops)."""
+    return rng.z2_spinor(key, (4, 3) + lat.site_shape, dtype)
+
+
+def gaussian_timeslice_source(
+    lat: Lattice, timeslice: int, key: jax.Array, dtype=jnp.complex64
+) -> jax.Array:
+    """Gaussian stochastic wall source on one timeslice."""
+    noise = rng.normal_spinor(key, (4, 3) + lat.site_shape, dtype)
+    mask = jnp.zeros((lat.dims[0],), noise.real.dtype).at[timeslice].set(1.0)
+    return noise * mask.reshape(1, 1, -1, 1, 1)

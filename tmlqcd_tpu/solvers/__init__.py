@@ -1,6 +1,12 @@
-"""Krylov solvers (reference: solver/ — cg_her.c, cg_mms_tm.c, mixed_cg_her.c,
-bicgstab_complex.c, monomial_solve.c dispatch)."""
+"""Krylov solvers, eigenestimators, and rational approximations
+(reference: solver/ — cg_her.c, cg_mms_tm.c, mixed_cg_her.c,
+bicgstab_complex.c, gmres.c/fgmres.c/gcr.c/mr.c, eigenvalues.c,
+rational/rational.c, monomial_solve.c dispatch)."""
 
 from tmlqcd_tpu.solvers.cg import cg, cg_info  # noqa: F401
 from tmlqcd_tpu.solvers.multishift import cg_multishift  # noqa: F401
 from tmlqcd_tpu.solvers.bicgstab import bicgstab  # noqa: F401
+from tmlqcd_tpu.solvers.mixed_cg import mixed_cg  # noqa: F401
+from tmlqcd_tpu.solvers.krylov import fgmres, gcr, mr  # noqa: F401
+from tmlqcd_tpu.solvers.eigen import lambda_max, lambda_min, spectral_bounds  # noqa: F401
+from tmlqcd_tpu.solvers.rational import rational_invsqrt  # noqa: F401
