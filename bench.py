@@ -6,6 +6,10 @@ convention, plus the fraction of the HBM-bandwidth roofline (dslash is
 memory-bound at ~1.7 f32 flops/byte, so the bandwidth roofline is the honest
 ceiling — survey §6).
 
+Measures the production path: the Pallas TPU kernel on split-f32 fields with
+the pre-gathered gauge copy (ops/dslash_pallas).  Pass --reference to time
+the jnp.roll formulation instead (the sharding-oracle path).
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 vs_baseline is measured GFLOP/s over the BASELINE.json target of 60% of the
@@ -15,13 +19,15 @@ chip's HBM-bandwidth roofline.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-from tmlqcd_tpu import su3
+from tmlqcd_tpu import rng, su3
 from tmlqcd_tpu.lattice import EVEN, ODD, Lattice, pack_gauge_eo
+from tmlqcd_tpu.ops import dslash_pallas as dp
 from tmlqcd_tpu.ops import wilson as w
 
 # HBM bandwidth (bytes/s) by device kind — roofline denominators.
@@ -47,49 +53,94 @@ def device_bandwidth() -> float:
     return HBM_BW.get("cpu" if jax.default_backend() == "cpu" else "TPU v5 lite", 0.819e12)
 
 
-def bench_dslash(dims=(32, 32, 32, 64), n_apps=100, dtype=jnp.complex64):
+def bench_dslash(dims=(32, 32, 32, 64), n_apps=100, dtype=jnp.complex64, path="pallas"):
+    """Measure the per-application dslash time; path = 'pallas' | 'reference'.
+
+    Measurement protocol (hardened against the async dispatch layer, which
+    can satisfy repeated identical executions from a cache and lets
+    block_until_ready return early): each timed run derives its input spinor
+    from a FRESH PRNG key inside the jit, the output is reduced to a scalar
+    fetched to the host (a data dependence that cannot be skipped), and two
+    scan lengths are differenced to cancel dispatch/transfer overheads —
+    the same protocol as the reference's benchmark.c warmup+difference.
+    """
+    import functools
+
     lat = Lattice(dims)
     params = w.DiracParams(kappa=0.15, mu=0.01)
     ph = w.boundary_phases(params, lat)
-
-    from tmlqcd_tpu import rng
+    interpret = jax.default_backend() == "cpu"
+    scale = 0.5  # fused normalization (keeps values in f32 range)
 
     @jax.jit
-    def make_fields(key):
+    def make_gauge(key):
         u = su3.random_su3(key, (4,) + lat.site_shape, dtype)
         ueo = pack_gauge_eo(u, lat)
-        psi = rng.normal_spinor(jax.random.fold_in(key, 1), (4, 3) + lat.eo_site_shape, dtype)
-        return ueo, psi
+        ug = dp.gauge_copy(ueo, lat, ph)
+        return (
+            ueo,
+            dp.split_c(ug[EVEN]).astype(jnp.float32),
+            dp.split_c(ug[ODD]).astype(jnp.float32),
+        )
 
-    ueo, psi = make_fields(jax.random.key(0))
+    ueo, ug_e, ug_o = make_gauge(jax.random.key(0))
+    jax.block_until_ready(ug_e)
 
-    scale = jnp.asarray(1.0 / 64.0, jnp.float32)  # keep |psi| bounded (H has norm ~8/hop)
+    if path == "pallas":
 
-    @jax.jit
-    def pairs(ueo, psi):
-        # n_apps even/odd dslash pairs, chained so XLA cannot elide any
-        def body(p, _):
-            e = w.dslash_packed(ueo, p, EVEN, lat, ph)
-            o = w.dslash_packed(ueo, e, ODD, lat, ph)
-            return o * scale, None
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def run(key, ugs, n):
+            a, b = ugs
+            psi = dp.split_c(
+                rng.normal_spinor(key, (4, 3) + lat.eo_site_shape, dtype)
+            ).astype(jnp.float32)
 
-        out, _ = jax.lax.scan(body, psi, None, length=n_apps)
-        return out
+            def body(ps, _):
+                e = dp.hopping_pallas_split(a, ps, EVEN, lat, interpret=interpret, scale=scale)
+                o = dp.hopping_pallas_split(b, e, ODD, lat, interpret=interpret, scale=scale)
+                return o, None
 
-    # warmup/compile, then best-of-3 (dispatch noise)
-    pairs(ueo, psi).block_until_ready()
-    dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        pairs(ueo, psi).block_until_ready()
-        dt = min(dt, time.perf_counter() - t0)
+            out, _ = jax.lax.scan(body, psi, None, length=n)
+            return jnp.sum(jnp.abs(out))
 
-    applications = 2 * n_apps  # each pair = 2 half-lattice applications
+        args = ((ug_e, ug_o),)
+    else:
+        sc = jnp.asarray(scale * scale, jnp.float32)
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def run(key, ueo, n):
+            psi = rng.normal_spinor(key, (4, 3) + lat.eo_site_shape, dtype)
+
+            def body(ps, _):
+                e = w.dslash_packed(ueo, ps, EVEN, lat, ph)
+                o = w.dslash_packed(ueo, e, ODD, lat, ph)
+                return o * sc, None
+
+            out, _ = jax.lax.scan(body, psi, None, length=n)
+            return jnp.sum(jnp.abs(out))
+
+        args = (ueo,)
+
+    n_lo, n_hi = max(n_apps // 10, 1), n_apps + max(n_apps // 10, 1)
+    for n in (n_lo, n_hi):  # compile both lengths
+        float(run(jax.random.key(99), *args, n))
+    best = {}
+    for n in (n_lo, n_hi):
+        b = float("inf")
+        for rep in range(3):
+            key = jax.random.key(1000 + 10 * rep + (n == n_hi))
+            t0 = time.perf_counter()
+            float(run(key, *args, n))
+            b = min(b, time.perf_counter() - t0)
+        best[n] = b
+
+    applications = 2 * (n_hi - n_lo)
     sites = lat.volume / 2
+    dt = best[n_hi] - best[n_lo]
     gflops = FLOPS_PER_SITE * sites * applications / dt / 1e9
 
-    # ideal HBM traffic per half-lattice application (f32 complex):
-    # 8 links * 18 reals * 4B = 576 B + in 96 B + out 96 B per site
+    # ideal HBM traffic per half-lattice application (f32):
+    # 8 links * 18 reals * 4B = 576 B + psi in 96 B + out 96 B per site
     bytes_per_site = (8 * 18 + 24 + 24) * 4
     bw_roofline_gflops = device_bandwidth() / bytes_per_site * FLOPS_PER_SITE / 1e9
     return {
@@ -98,17 +149,16 @@ def bench_dslash(dims=(32, 32, 32, 64), n_apps=100, dtype=jnp.complex64):
         "roofline_fraction": gflops / bw_roofline_gflops,
         "seconds_per_application": dt / applications,
         "dims": dims,
+        "path": path,
         "device": jax.devices()[0].device_kind,
     }
 
 
 def main():
-    import os
-
-    dims = (32, 32, 32, 64)
-    if jax.default_backend() == "cpu":
-        dims = (8, 8, 8, 16)  # keep CPU smoke runs fast
-    r = bench_dslash(dims=dims, n_apps=50 if jax.default_backend() != "cpu" else 4)
+    path = "reference" if "--reference" in sys.argv else "pallas"
+    on_cpu = jax.default_backend() == "cpu"
+    dims = (8, 8, 8, 16) if on_cpu else (32, 32, 32, 64)
+    r = bench_dslash(dims=dims, n_apps=4 if on_cpu else 50, path=path)
     target = 0.6 * r["roofline_gflops"]
     print(
         json.dumps(
@@ -122,6 +172,7 @@ def main():
                     "roofline_fraction": round(r["roofline_fraction"], 4),
                     "device": r["device"],
                     "lattice": list(r["dims"]),
+                    "path": r["path"],
                 },
             }
         )

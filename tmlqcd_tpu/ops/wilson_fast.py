@@ -1,0 +1,104 @@
+"""Split-complex (f32 re/im) twisted-mass operators on the Pallas dslash —
+the TPU production hot path.
+
+Reference: the `_32` single-precision operator stack of the reference
+(tm_operators_32.c, Hopping_Matrix_32.c) — there the motivation was sloppy
+precision; here the split layout is what lets the hopping run as a Mosaic
+kernel (no complex dtype on the VPU) with zero per-application layout
+conversion.  Solvers iterate directly on the split arrays: CG's dot products
+Re<a,b> are plain f32 sums over the leading re/im axis, so tmlqcd_tpu's
+generic solvers work unchanged.
+
+Layout: psi [2, 4, 3, T, X, M] f32; gauge as FastGauge (pre-gathered
+per-direction links, both parities, phases folded — see dslash_pallas).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tmlqcd_tpu.lattice import EVEN, ODD, Lattice, pack_gauge_eo
+from tmlqcd_tpu.ops import dslash_pallas as dp
+from tmlqcd_tpu.ops.wilson import DiracParams, boundary_phases
+
+__all__ = ["FastGauge", "make_fast_gauge", "q_hat_pm_fast", "q_hat_fast", "to_split", "from_split"]
+
+
+@dataclasses.dataclass(frozen=True)
+class FastGauge:
+    """Pre-gathered split gauge for the Pallas dslash: ug[p] f32
+    [2, 8, 3, 3, T, X, M] for each output parity p."""
+
+    ug_even: jax.Array
+    ug_odd: jax.Array
+
+
+def make_fast_gauge(u: jax.Array, params: DiracParams, lat: Lattice) -> FastGauge:
+    """Full gauge [3,3,4,T,X,Mf] complex -> FastGauge (once per gauge
+    update; reference: update_backward_gauge())."""
+    ph = boundary_phases(params, lat)
+    ueo = pack_gauge_eo(u, lat)
+    ug = dp.gauge_copy(ueo, lat, ph)
+    return FastGauge(
+        ug_even=dp.split_c(ug[EVEN]).astype(jnp.float32),
+        ug_odd=dp.split_c(ug[ODD]).astype(jnp.float32),
+    )
+
+
+def to_split(psi: jax.Array) -> jax.Array:
+    return dp.split_c(psi).astype(jnp.float32)
+
+
+def from_split(psi2: jax.Array, dtype=jnp.complex64) -> jax.Array:
+    return dp.merge_c(psi2, dtype)
+
+
+def _gamma5(psi2: jax.Array) -> jax.Array:
+    sign = jnp.asarray([1.0, 1.0, -1.0, -1.0], psi2.dtype).reshape(
+        (1, 4) + (1,) * (psi2.ndim - 2)
+    )
+    return psi2 * sign
+
+
+def _i_mul(psi2: jax.Array) -> jax.Array:
+    """i * psi in split layout: (re, im) -> (-im, re)."""
+    return jnp.stack([-psi2[1], psi2[0]])
+
+
+def _mee_split(psi2: jax.Array, mutld: float, sign: float) -> jax.Array:
+    """(1 + i sign mutld gamma5) psi."""
+    return psi2 + jnp.float32(sign * mutld) * _i_mul(_gamma5(psi2))
+
+
+def _mee_inv_split(psi2: jax.Array, mutld: float, sign: float) -> jax.Array:
+    inv = jnp.float32(1.0 / (1.0 + mutld * mutld))
+    return (psi2 - jnp.float32(sign * mutld) * _i_mul(_gamma5(psi2))) * inv
+
+
+def m_hat_fast(
+    fg: FastGauge, psi2_o: jax.Array, params: DiracParams, lat: Lattice, sign: float = +1.0
+) -> jax.Array:
+    """Mhat(+-) on odd sites, split layout (reference: Mtm_plus_psi)."""
+    k2 = jnp.float32(params.kappa * params.kappa)
+    tmp = dp.hopping_pallas_split(fg.ug_even, psi2_o, EVEN, lat)
+    tmp = _mee_inv_split(tmp, params.mutld, sign)
+    tmp = dp.hopping_pallas_split(fg.ug_odd, tmp, ODD, lat)
+    return _mee_split(psi2_o, params.mutld, sign) - k2 * tmp
+
+
+def q_hat_fast(
+    fg: FastGauge, psi2_o: jax.Array, params: DiracParams, lat: Lattice, sign: float = +1.0
+) -> jax.Array:
+    return _gamma5(m_hat_fast(fg, psi2_o, params, lat, sign))
+
+
+def q_hat_pm_fast(
+    fg: FastGauge, psi2_o: jax.Array, params: DiracParams, lat: Lattice
+) -> jax.Array:
+    """Qhat_pm on split fields — the production CG operator
+    (reference: Qtm_pm_psi)."""
+    tmp = q_hat_fast(fg, psi2_o, params, lat, +1.0)
+    return q_hat_fast(fg, tmp, params, lat, -1.0)
