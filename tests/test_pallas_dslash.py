@@ -28,8 +28,9 @@ def test_pallas_matches_reference(dims):
 
 
 def test_fast_operator_matches_reference():
-    """Split-complex Qhat_pm (interpret kernel) == complex Qhat_pm."""
-    from tmlqcd_tpu.ops import dslash_pallas
+    """Split-complex Qhat_pm (pallas kernel, auto-interpret off-TPU) ==
+    complex Qhat_pm."""
+    import tmlqcd_tpu.ops.wilson_fast as wf
 
     lat = Lattice((4, 4, 4, 4))
     params = w.DiracParams(kappa=0.13, mu=0.05)
@@ -38,24 +39,23 @@ def test_fast_operator_matches_reference():
     ueo = pack_gauge_eo(u, lat)
     psi = rng.normal_spinor(jax.random.key(3), (4, 3) + lat.eo_site_shape, jnp.complex64)
     ref = w.q_hat_pm(ueo, psi, params, lat, ph)
-
-    # monkeypatch-free: call the split pipeline with interpret kernels
-    import tmlqcd_tpu.ops.wilson_fast as wf
-
-    orig = dashless = dslash_pallas.hopping_pallas_split
-    try:
-        dslash_pallas_interp = lambda ug, p2, p, lt, mt=None, interpret=False: orig(
-            ug, p2, p, lt, mt=mt, interpret=True
-        )
-        dslash_pallas.hopping_pallas_split = dslash_pallas_interp
-        wf.dp.hopping_pallas_split = dslash_pallas_interp
-        fg = wf.make_fast_gauge(u, params, lat)
-        out2 = wf.q_hat_pm_fast(fg, wf.to_split(psi), params, lat)
-    finally:
-        dslash_pallas.hopping_pallas_split = orig
-        wf.dp.hopping_pallas_split = orig
-    out = wf.from_split(out2)
+    fg = wf.make_fast_gauge(u, params, lat)
+    out = wf.from_split(wf.q_hat_pm_fast(fg, wf.to_split(psi), params, lat))
     assert float(jnp.max(jnp.abs(out - ref))) < 2e-4
+
+
+def test_fastcg_inverter_matches_reference():
+    """invert_eo(solver='fastcg') == invert_eo(solver='cg')."""
+    from tmlqcd_tpu.inverter import invert_eo
+
+    lat = Lattice((4, 4, 4, 4))
+    params = w.DiracParams(kappa=0.13, mu=0.05)
+    u = su3.random_su3(jax.random.key(4), (4,) + lat.site_shape, jnp.complex64)
+    b = rng.normal_spinor(jax.random.key(5), (4, 3) + lat.site_shape, jnp.complex64)
+    x_ref = invert_eo(u, b, params, lat, tol=1e-7, maxiter=2000, solver="cg").x
+    x_fast = invert_eo(u, b, params, lat, tol=1e-7, maxiter=2000, solver="fastcg").x
+    rel = float(jnp.linalg.norm(x_fast - x_ref) / jnp.linalg.norm(x_ref))
+    assert rel < 1e-4, rel
 
 
 def test_gauge_copy_structure():

@@ -196,6 +196,25 @@ def build_monomial(spec: MonomialSpec, lat: Lattice, beta: float, c1: float):
             timescale=spec.timescale,
             name=spec.name or "clovertrlog",
         )
+    if ty == "NDPOLY":
+        from tmlqcd_tpu.hmc import NDPolyMonomial
+
+        return NDPolyMonomial(
+            lat=lat,
+            params=NDParams(
+                kappa=spec.kappa,
+                mubar=_mu(spec.two_kappa_mubar, spec.kappa),
+                epsbar=_mu(spec.two_kappa_epsbar, spec.kappa),
+                c_sw=spec.csw,
+            ),
+            degree=max(spec.rat_order, 32),
+            s_min=spec.stilde_min,
+            s_max=spec.stilde_max,
+            timescale=spec.timescale,
+            heatbath_tol=float(spec.acceptance_precision) ** 0.5,
+            maxiter=spec.max_solver_iterations,
+            name=spec.name or "ndpoly",
+        )
     if ty == "NDRAT":
         return NDRatMonomial(
             lat=lat,

@@ -1,0 +1,102 @@
+"""PHMC: polynomial pseudofermion monomial for the non-degenerate doublet.
+
+Reference: monomial/ndpoly_monomial.c + chebyshev_polynomial_nd.c + phmc.c
+(survey §2.7 "PHMC (polynomial)") — the older alternative to the rational
+(NDRAT) monomial for the det(Q_nd^2)^{1/2} sector.
+
+Formulation (exact detailed balance, TPU-native force):
+
+    S = | P(Q^2) phi |^2,   P = Chebyshev approx of x^{-1/4} on [s_min, s_max]
+
+so the sampled weight is det(P^2)^{-1} ~ det(Q^2)^{1/2}; the polynomial
+approximation error is corrected by reweighting (reference: the Ptilde
+correction/reweighting factor; tmlqcd_tpu.hmc.reweight).
+
+  * heatbath: phi = P^{-1} eta via CG on the (well-conditioned) hermitian
+    positive P^+P, giving S_0 = |eta|^2 exactly.
+  * acceptance: one polynomial application.
+  * force: AD straight through the rematerialized Clenshaw recursion
+    (solvers.chebyshev) at stopped psi = P phi — NO inversions in the MD
+    force at all, the structural advantage of PHMC the reference exploits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tmlqcd_tpu import rng
+from tmlqcd_tpu.hmc.monomials import dot_re_f64, norm_sq_f64
+from tmlqcd_tpu.lattice import Lattice, pack_gauge_eo
+from tmlqcd_tpu.ops import ndoublet as nd
+from tmlqcd_tpu.ops.gauge_action import ta_force_from_grad
+from tmlqcd_tpu.ops.wilson import boundary_phases
+from tmlqcd_tpu.solvers.cg import cg
+from tmlqcd_tpu.solvers.chebyshev import chebyshev_apply, chebyshev_coeffs, chebyshev_eval
+
+__all__ = ["NDPolyMonomial"]
+
+
+@dataclasses.dataclass(frozen=True)
+class NDPolyMonomial:
+    """Nf=1+1 polynomial monomial (reference: BeginMonomial NDPOLY with
+    PolyDegree, PrecisionPtilde..., StildeMin/StildeMax)."""
+
+    lat: Lattice
+    params: nd.NDParams
+    degree: int = 128  # ~3e-7 max rel err on [1e-2, 4] (rate exp(-d/sqrt(cond)))
+    s_min: float = 1e-2
+    s_max: float = 4.0
+    timescale: int = 1
+    heatbath_tol: float = 1e-10
+    maxiter: int = 1000
+    name: str = "ndpoly"
+
+    @functools.cached_property
+    def coeffs(self) -> np.ndarray:
+        c = chebyshev_coeffs(lambda x: x**-0.25, self.degree, self.s_min, self.s_max)
+        return c
+
+    @property
+    def max_rel_err(self) -> float:
+        xs = np.geomspace(self.s_min, self.s_max, 4001)
+        approx = chebyshev_eval(self.coeffs, xs, self.s_min, self.s_max)
+        return float(np.max(np.abs(approx * xs**0.25 - 1.0)))
+
+    def _q2(self, u, chi):
+        ph = boundary_phases(self.params.wilson, self.lat)
+        ueo = pack_gauge_eo(u, self.lat)
+        q = lambda c: nd.q_nd(ueo, c, self.params, self.lat, ph)
+        return q(q(chi))
+
+    def _poly(self, u, chi):
+        return chebyshev_apply(
+            lambda c: self._q2(u, c), self.coeffs, chi, self.s_min, self.s_max
+        )
+
+    def heatbath(self, u, key):
+        eta = rng.normal_spinor(key, (2, 4, 3) + self.lat.eo_site_shape, u.dtype)
+        # phi = P^{-1} eta: CG on P^2 (P hermitian positive on spec(Q^2))
+        p2 = lambda x: self._poly(u, self._poly(u, x))
+        rhs = self._poly(u, eta)
+        phi = cg(p2, rhs, tol=self.heatbath_tol, maxiter=self.maxiter).x
+        return phi, norm_sq_f64(eta)
+
+    def action(self, u, phi):
+        psi = self._poly(u, phi)
+        return norm_sq_f64(psi)
+
+    def force(self, u, phi):
+        psi = jax.lax.stop_gradient(self._poly(u, phi))
+        phi_s = jax.lax.stop_gradient(phi)
+
+        def surrogate(uu):
+            # d|P phi|^2 = 2 Re<psi, dP phi> at stopped psi, phi
+            return 2.0 * dot_re_f64(psi, self._poly(uu, phi_s))
+
+        g = jax.grad(surrogate)(u)
+        return ta_force_from_grad(u, g)

@@ -70,9 +70,15 @@ class NDRatMonomial:
 
     def _q(self, u, chi):
         """Q_nd chi as a function of the FULL gauge field (differentiable:
-        jax.grad w.r.t. u flows through the e/o packing)."""
+        jax.grad w.r.t. u flows through the e/o packing and, for c_sw != 0,
+        through the clover blocks — the clover-ND force for free)."""
         ph = boundary_phases(self.params.wilson, self.lat)
         ueo = pack_gauge_eo(u, self.lat)
+        if self.params.c_sw != 0.0:
+            from tmlqcd_tpu.ops import clover as cl
+
+            sw_e, sw_o = cl.sw_blocks_eo(u, self.params.kappa, self.params.c_sw, self.lat)
+            return cl.q_nd_clover(ueo, sw_e, sw_o, chi, self.params, self.lat, ph)
         return nd.q_nd(ueo, chi, self.params, self.lat, ph)
 
     def _mms(self, u, b, shifts: np.ndarray, tol: float):

@@ -4,15 +4,13 @@ energy densities E(t), and the t0 / w0 scales.
 Reference: meas/gradient_flow.c `gradient_flow_measurement` (survey §2.9):
 Wilson flow, RK3 Luscher integrator, outputs t^2 E(t), t0/w0.
 
-Flow equation (Luscher 1006.4518): V' = Z(V) V with Z = -grad S_w where the
-derivative is w.r.t. the generator basis normalized tr(T^a T^b) = -1/2.
-In terms of this package's force convention F = TA(U dS/dU^T) (which
-satisfies dS/d_eps = tr(F P) along dU = eps P U), Z = -F/ ... the basis
-normalization gives exactly Z(V) = -(1/2) F_{S_w} with
-S_w = 6 sum_p (1 - Re tr P / 3), i.e. Z = -gauge_force(V, beta=3).
-`tests/test_meas.py::test_flow_free_field_decay` pins this normalization
-against the exact linearized decay exp(-t phat^2) of a transverse
-plane-wave mode.
+Flow equation (Luscher 1006.4518): V' = Z(V) V.  In this package's force
+convention F = TA(U dS/dU^T) (satisfying dS/d_eps = tr(F P) along
+dU = eps P U, with tr negative-definite on antihermitian matrices so F is
+already the descent direction), the Wilson-flow generator is exactly
+Z(V) = gauge_force(V, beta=1) — the normalization is CALIBRATED against
+the linearized decay exp(-t phat^2) of a transverse plane wave
+(tests/test_meas.py::test_flow_free_field_decay pins it to 2%).
 
 RK3 (Luscher appendix C):
     W0 = V
@@ -123,3 +121,44 @@ def t0_scale(times, t2e, target: float = 0.3) -> float:
     t1, t2 = times[i - 1], times[i]
     v1, v2 = vals[i - 1], vals[i]
     return float(t1 + (target - v1) * (t2 - t1) / (v2 - v1))
+
+
+def wilson_flow_adaptive(
+    v: jax.Array,
+    lat: Lattice,
+    t_max: float,
+    eps0: float = 0.01,
+    tol: float = 1e-6,
+    max_steps: int = 2000,
+):
+    """Adaptive-step Wilson flow (reference: gradient_flow.c's adaptive
+    mode): step-doubling error control — one eps-step vs two eps/2-steps,
+    distance || . ||_inf on the links estimates the local error; step
+    accepted if err < tol, eps adapted by the RK3 order-3 rule.
+
+    Runs as a host-side loop (flow measurements are offline analysis, not
+    MD-critical); returns (flowed field, times, t2E_plaq samples).
+    """
+    import numpy as np
+
+    step2 = jax.jit(lambda u, e: wilson_flow_step(wilson_flow_step(u, e / 2.0, lat), e / 2.0, lat))
+    step1 = jax.jit(lambda u, e: wilson_flow_step(u, e, lat))
+    e_fn = jax.jit(lambda u: energy_plaq(u, lat))
+
+    t, eps = 0.0, float(eps0)
+    times, t2e = [], []
+    for _ in range(max_steps):
+        if t >= t_max:
+            break
+        eps = min(eps, t_max - t)
+        u1 = step1(v, eps)
+        u2 = step2(v, eps)
+        err = float(jnp.max(jnp.abs(u1 - u2)))
+        if err < tol or eps <= 1e-6:
+            v = u2
+            t += eps
+            times.append(t)
+            t2e.append(t * t * float(e_fn(v)))
+        # order-3 local error -> adapt with exponent 1/3 (safety 0.9)
+        eps = eps * min(2.0, max(0.2, 0.9 * (tol / max(err, 1e-300)) ** (1.0 / 3.0)))
+    return v, np.asarray(times), np.asarray(t2e)

@@ -290,3 +290,132 @@ def q_hat_pm_clover(ueo, sw_e, sw_o, psi_o, params, lat: Lattice, phases):
     (reference: Qsw_pm_psi)."""
     tmp = q_hat_clover(ueo, sw_e, sw_o, psi_o, params, lat, phases, +1.0)
     return q_hat_clover(ueo, sw_e, sw_o, tmp, params, lat, phases, -1.0)
+
+
+# ---------------------------------------------------------------------------
+# Non-degenerate (strange/charm) clover doublet (reference:
+# operator/clovertm_operators.c Qsw_*_ndpsi, sw_invert_nd,
+# monomial/clovernd_trlog_monomial.c)
+# ---------------------------------------------------------------------------
+
+
+def _sw_c_blocks(sw_b, dtype):
+    """C = 1 + T for one chirality as 2x2 color blocks (P, Q, R, S)."""
+    eye = jnp.eye(3, dtype=dtype).reshape((3, 3) + (1,) * (sw_b[0, 0].ndim - 2))
+    return sw_b[0, 0] + eye, sw_b[0, 1], sw_b[1, 0], sw_b[1, 1] + eye
+
+
+def _blk_sq(p, q, r, s):
+    """(P,Q,R,S)^2 in 2x2-of-3x3 block form."""
+    return (
+        su3.mul(p, p) + su3.mul(q, r),
+        su3.mul(p, q) + su3.mul(q, s),
+        su3.mul(r, p) + su3.mul(s, r),
+        su3.mul(r, q) + su3.mul(s, s),
+    )
+
+
+def _apply_c(sw_b, v0, v1, dtype):
+    """C v for color vectors (v0, v1) of one chirality."""
+    p, q, r, s = _sw_c_blocks(sw_b, dtype)
+    return (
+        su3.matvec(p, v0) + su3.matvec(q, v1),
+        su3.matvec(r, v0) + su3.matvec(s, v1),
+    )
+
+
+def mee_nd_clover(sw, chi, mubar_t: float, epsbar_t: float, sign: float = +1.0):
+    """M_ee^nd chi = (C (x) 1_f + i sign mubar gamma5 tau3 + epsbar tau1) chi
+    for doublets chi [2, 4, 3, ...], C = 1 + T (clover blocks sw)."""
+    up = sw_apply(sw, chi[0], sign * mubar_t, +1.0)
+    dn = sw_apply(sw, chi[1], sign * mubar_t, -1.0)
+    eps = jnp.asarray(epsbar_t, chi.real.dtype)
+    return jnp.stack([up + eps * chi[1], dn + eps * chi[0]])
+
+
+def mee_inv_nd_clover(sw, chi, mubar_t: float, epsbar_t: float, sign: float = +1.0):
+    """M_ee^nd inverse, closed form: since [T, gamma5] = 0 all flavor blocks
+    commute and
+
+        M^{-1} = [[C - i mu g5, -eps], [-eps, C + i mu g5]] / D,
+        D = C^2 + mu^2 - eps^2   (per chirality 6x6, Schur-inverted)
+
+    (reference: sw_invert_nd's per-site 6x6 inverses)."""
+    imu = 1j * sign * mubar_t
+    eps = jnp.asarray(epsbar_t, chi.real.dtype)
+    shift = mubar_t * mubar_t - epsbar_t * epsbar_t
+    outs_u, outs_d = [], []
+    for b, (s0, pm) in enumerate(((0, +1.0), (2, -1.0))):
+        mt = jnp.asarray(pm * imu, chi.dtype)
+        # numerators: (C -+ i mu g5) chi_f - eps chi_{f'}
+        cu = _apply_c(sw[b], chi[0, s0], chi[0, s0 + 1], chi.dtype)
+        cd = _apply_c(sw[b], chi[1, s0], chi[1, s0 + 1], chi.dtype)
+        nu = [cu[i] - mt * chi[0, s0 + i] - eps * chi[1, s0 + i] for i in range(2)]
+        nd = [cd[i] + mt * chi[1, s0 + i] - eps * chi[0, s0 + i] for i in range(2)]
+        # D = C^2 + shift (per chirality), Schur solve for both flavors
+        p, q, r, s = _sw_c_blocks(sw[b], chi.dtype)
+        p2, q2, r2, s2 = _blk_sq(p, q, r, s)
+        eye = jnp.eye(3, dtype=chi.dtype).reshape(
+            (3, 3) + (1,) * (p2.ndim - 2)
+        )
+        sh = jnp.asarray(shift, chi.real.dtype)
+        p2 = p2 + sh * eye
+        s2 = s2 + sh * eye
+        xu0, xu1, _ = _schur_inv_apply(p2, q2, r2, s2, nu[0], nu[1])
+        xd0, xd1, _ = _schur_inv_apply(p2, q2, r2, s2, nd[0], nd[1])
+        outs_u.extend([xu0, xu1])
+        outs_d.extend([xd0, xd1])
+    return jnp.stack([jnp.stack(outs_u), jnp.stack(outs_d)])
+
+
+def sw_logdet_nd(sw, mubar_t: float, epsbar_t: float) -> jax.Array:
+    """sum_sites log det M_ee^nd = sum_chirality log det(C^2 + mu^2 - eps^2)
+    — the even/even factor of the nd clover determinant (reference:
+    monomial/clovernd_trlog_monomial.c).  f64-accumulated."""
+    shift = mubar_t * mubar_t - epsbar_t * epsbar_t
+    total = jnp.asarray(0.0, jnp.float64)
+    for b in range(2):
+        p, q, r, s = _sw_c_blocks(sw[b], sw.dtype)
+        p2, q2, r2, s2 = _blk_sq(p, q, r, s)
+        eye = jnp.eye(3, dtype=sw.dtype).reshape((3, 3) + (1,) * (p2.ndim - 2))
+        sh = jnp.asarray(shift, jnp.float32 if sw.dtype == jnp.complex64 else jnp.float64)
+        p2 = p2 + sh * eye
+        s2 = s2 + sh * eye
+        pinv, detp = _inv3(p2)
+        stilde = s2 - su3.mul(su3.mul(r2, pinv), q2)
+        _, dets = _inv3(stilde)
+        det = detp * dets
+        total = total + jnp.sum(jnp.log(jnp.abs(det).astype(jnp.float64)))
+    return total
+
+
+def m_hat_nd_clover(ueo, sw_e, sw_o, chi_o, params, lat: Lattice, phases, sign: float = +1.0):
+    """Clover nd Schur complement on odd sites (reference: the Qsw_ndpsi
+    stack): Mhat = M_oo^nd - kappa^2 H_oe (M_ee^nd)^{-1} H_eo, H
+    flavor-diagonal."""
+    from tmlqcd_tpu.lattice import EVEN, ODD
+    from tmlqcd_tpu.ops.wilson import dslash_packed
+
+    k2 = jnp.asarray(params.kappa * params.kappa, chi_o.real.dtype)
+    tmp = jnp.stack(
+        [
+            dslash_packed(ueo, chi_o[0], EVEN, lat, phases),
+            dslash_packed(ueo, chi_o[1], EVEN, lat, phases),
+        ]
+    )
+    tmp = mee_inv_nd_clover(sw_e, tmp, params.mubar_t, params.epsbar_t, sign)
+    tmp = jnp.stack(
+        [
+            dslash_packed(ueo, tmp[0], ODD, lat, phases),
+            dslash_packed(ueo, tmp[1], ODD, lat, phases),
+        ]
+    )
+    return mee_nd_clover(sw_o, chi_o, params.mubar_t, params.epsbar_t, sign) - k2 * tmp
+
+
+def q_nd_clover(ueo, sw_e, sw_o, chi_o, params, lat: Lattice, phases):
+    """Q_nd^sw = gamma5 tau1 Mhat_nd^sw — hermitian (reference: Qsw_ndpsi)."""
+    from tmlqcd_tpu.gamma import apply_gamma5
+
+    m = m_hat_nd_clover(ueo, sw_e, sw_o, chi_o, params, lat, phases, +1.0)[::-1]
+    return jnp.stack([apply_gamma5(m[0]), apply_gamma5(m[1])])

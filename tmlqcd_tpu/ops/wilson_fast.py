@@ -78,14 +78,20 @@ def _mee_inv_split(psi2: jax.Array, mutld: float, sign: float) -> jax.Array:
     return (psi2 - jnp.float32(sign * mutld) * _i_mul(_gamma5(psi2))) * inv
 
 
+def _interpret() -> bool:
+    """Pallas interpret mode off-TPU (CPU tests of the fast path)."""
+    return jax.default_backend() != "tpu"
+
+
 def m_hat_fast(
     fg: FastGauge, psi2_o: jax.Array, params: DiracParams, lat: Lattice, sign: float = +1.0
 ) -> jax.Array:
     """Mhat(+-) on odd sites, split layout (reference: Mtm_plus_psi)."""
+    interp = _interpret()
     k2 = jnp.float32(params.kappa * params.kappa)
-    tmp = dp.hopping_pallas_split(fg.ug_even, psi2_o, EVEN, lat)
+    tmp = dp.hopping_pallas_split(fg.ug_even, psi2_o, EVEN, lat, interpret=interp)
     tmp = _mee_inv_split(tmp, params.mutld, sign)
-    tmp = dp.hopping_pallas_split(fg.ug_odd, tmp, ODD, lat)
+    tmp = dp.hopping_pallas_split(fg.ug_odd, tmp, ODD, lat, interpret=interp)
     return _mee_split(psi2_o, params.mutld, sign) - k2 * tmp
 
 

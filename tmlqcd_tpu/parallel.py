@@ -1,0 +1,95 @@
+"""Distribution helpers: device meshes, lattice shardings, parallel chains.
+
+Reference: mpi_init.c (`tmlqcd_mpi_init` — the MPI Cartesian grid) and the
+xchange/ halo machinery (survey §2.3).  On TPU there is NO transport code:
+jnp.roll on sharded axes lowers to XLA collective-permutes over ICI, and
+reductions to psums.  This module only builds meshes and shardings.
+
+Axes: the packed-field site dims are (T, X, M = Y*Z/2); production meshes
+shard 't' (time) and 'm' (the flattened y-slab axis) — the 2D analog of the
+reference's --with-mpidimension=2.  The Pallas dslash currently runs
+single-device per shard under shard_map (halo exchange at the jnp level
+via lattice.hop_packed's rolls); whole-array GSPMD uses the jnp operators.
+
+Parallel chains (survey §2.11 "replica parallelism"): the reference runs
+independent HMC streams as separate jobs; here `parallel_chains` vmaps the
+trajectory over a leading chain axis — one compiled program advancing many
+Markov chains, shardable over devices by the chain axis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "gauge_spec",
+    "spinor_spec",
+    "shard_gauge",
+    "parallel_chains",
+    "chain_init",
+]
+
+# layouts (see tmlqcd_tpu.lattice):
+#   gauge full   [3, 3, 4, T, X, Mf]
+#   gauge packed [2, 3, 3, 4, T, X, M]
+#   spinor packed [4, 3, T, X, M]
+GAUGE_FULL_SPEC = P(None, None, None, "t", None, "m")
+GAUGE_EO_SPEC = P(None, None, None, None, "t", None, "m")
+SPINOR_EO_SPEC = P(None, None, "t", None, "m")
+
+
+def make_mesh(shape: tuple[int, int] | None = None, devices=None) -> Mesh:
+    """2D ('t', 'm') device mesh (reference: MPI_Cart_create over
+    NrTProcs x ...).  Default: all devices, as square as possible with the
+    larger factor on 't'."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        a = 1
+        for c in range(1, int(n**0.5) + 1):
+            if n % c == 0:
+                a = c
+        shape = (max(a, n // a), min(a, n // a))
+    return Mesh(np.asarray(devices[: shape[0] * shape[1]]).reshape(shape), ("t", "m"))
+
+
+def gauge_spec(mesh: Mesh, packed: bool = False) -> NamedSharding:
+    return NamedSharding(mesh, GAUGE_EO_SPEC if packed else GAUGE_FULL_SPEC)
+
+
+def spinor_spec(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, SPINOR_EO_SPEC)
+
+
+def shard_gauge(u: jax.Array, mesh: Mesh) -> jax.Array:
+    """Place a full gauge field on the mesh (validates divisibility)."""
+    t_sh, m_sh = mesh.shape["t"], mesh.shape["m"]
+    if u.shape[3] % t_sh or u.shape[5] % m_sh:
+        raise ValueError(
+            f"lattice (T={u.shape[3]}, M={u.shape[5]}) not divisible by mesh {dict(mesh.shape)}"
+        )
+    return jax.device_put(u, gauge_spec(mesh))
+
+
+def chain_init(n_chains: int, make_u, key: jax.Array) -> jax.Array:
+    """Stack n independent hot starts along a leading chain axis."""
+    keys = jax.random.split(key, n_chains)
+    return jax.vmap(make_u)(keys)
+
+
+def parallel_chains(cfg, u_stack: jax.Array, keys: jax.Array):
+    """One trajectory on every chain: vmapped hmc_trajectory
+    (u_stack [C, ...gauge], keys [C]) -> (u' [C, ...], stats batched).
+
+    Shard the chain axis over devices for embarrassingly-parallel streams
+    (BASELINE config 5 "parallel HMC streams")."""
+    from tmlqcd_tpu.hmc.trajectory import hmc_trajectory
+
+    step = jax.vmap(functools.partial(hmc_trajectory, cfg))
+    return step(u_stack, keys)

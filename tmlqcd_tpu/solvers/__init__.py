@@ -10,3 +10,7 @@ from tmlqcd_tpu.solvers.mixed_cg import mixed_cg  # noqa: F401
 from tmlqcd_tpu.solvers.krylov import fgmres, gcr, mr  # noqa: F401
 from tmlqcd_tpu.solvers.eigen import lambda_max, lambda_min, spectral_bounds  # noqa: F401
 from tmlqcd_tpu.solvers.rational import rational_invsqrt  # noqa: F401
+from tmlqcd_tpu.solvers.chrono import chrono_guess, chrono_init, chrono_push  # noqa: F401
+from tmlqcd_tpu.solvers.chebyshev import chebyshev_apply, chebyshev_coeffs  # noqa: F401
+from tmlqcd_tpu.solvers.deflation import deflated_fgmres, setup_deflation, vcycle  # noqa: F401
+from tmlqcd_tpu.solvers.dispatch import register_solver, solve_degenerate, solve_mms  # noqa: F401
