@@ -53,7 +53,7 @@ def test_mixed_cg_converges():
 def test_fgmres_gcr_mr_solve_nonhermitian():
     _, mhat, b = _ops()
     for solver, tol, check in ((fgmres, 1e-6, 5e-6), (gcr, 1e-6, 5e-6), (mr, 1e-3, 1e-2)):
-        res = jax.jit(lambda b: solver(mhat, b, tol=tol, restart=20, max_restarts=50)
+        res = jax.jit(lambda b: solver(mhat, b, tol=tol, restart=8, max_restarts=120)
                       if solver is not mr else mr(mhat, b, tol=tol, maxiter=2000))(b)
         rel = float(jnp.linalg.norm(mhat(res.x) - b) / jnp.linalg.norm(b))
         assert rel < check, (solver.__name__, rel)
@@ -63,14 +63,14 @@ def test_fgmres_with_preconditioner():
     qpm, mhat, b = _ops()
     # cheap MR preconditioner makes FGMRES converge in fewer restarts
     precond = lambda v: mr(mhat, v, tol=1e-1, maxiter=10).x
-    res = fgmres(mhat, b, precond=precond, tol=1e-6, restart=10, max_restarts=30)
+    res = fgmres(mhat, b, precond=precond, tol=1e-6, restart=8, max_restarts=40)
     rel = float(jnp.linalg.norm(mhat(res.x) - b) / jnp.linalg.norm(b))
     assert rel < 5e-6
 
 
 def test_eigen_bounds_bracket_spectrum():
     qpm, _, b = _ops()
-    lmax = float(lambda_max(qpm, b.shape, jax.random.key(3), iters=60, dtype=DT))
+    lmax = float(lambda_max(qpm, b.shape, jax.random.key(3), iters=40, dtype=DT))
     lmin = float(lambda_min(qpm, b.shape, jax.random.key(4), iters=8, dtype=DT))
     assert 0 < lmin < lmax
     # Rayleigh quotients of random vectors must fall inside [lmin', lmax']
@@ -93,13 +93,13 @@ def test_parallel_chains_match_single():
     cfg = build_hmc(
         RunConfig(
             monomials=(MonomialSpec(type="GAUGE"),),
-            integrator=IntegratorSpec(tau=1.0, steps=(6,)),
+            integrator=IntegratorSpec(tau=1.0, steps=(3,)),
             beta=5.5,
         )
     )
     make_u = lambda k: su3.random_su3(k, (4,) + LAT.site_shape, DT)
-    us = chain_init(3, make_u, jax.random.key(7))
-    keys = jax.random.split(jax.random.key(8), 3)
+    us = chain_init(2, make_u, jax.random.key(7))
+    keys = jax.random.split(jax.random.key(8), 2)
     u_out, stats = jax.jit(lambda u, k: parallel_chains(cfg, u, k))(us, keys)
     ref_u, ref_st = jax.jit(functools.partial(hmc_trajectory, cfg))(us[1], keys[1])
     np.testing.assert_allclose(np.asarray(u_out[1]), np.asarray(ref_u), atol=1e-6)
@@ -146,8 +146,8 @@ def test_api_session_roundtrip(tmp_path):
     )
     s = init(cfg)
     s.hot_start()
-    stats = s.run_hmc(2)
-    assert len(stats) == 2 and 0 < s.plaquette() < 1
+    stats = s.run_hmc(1)
+    assert len(stats) == 1 and 0 < s.plaquette() < 1
     # inversion through the session
     from tmlqcd_tpu.meas.sources import point_source
 

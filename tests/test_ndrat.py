@@ -97,3 +97,19 @@ def test_ndrat_force_vs_finite_difference():
     fd = (sp - sm) / (2 * eps)
     pred = jnp.sum(jnp.einsum("ij...,ji...->...", f, p)).real
     assert abs(float(fd - pred)) / abs(float(fd)) < 1e-6
+
+
+def test_invert_doublet_eo_solves_full_operator():
+    """M_nd x = b on the full lattice (reference: invert_doublet_eo.c)."""
+    from tmlqcd_tpu.inverter import invert_doublet_eo
+    from tmlqcd_tpu.ops.wilson import dslash_full
+
+    u = _u0()
+    b = rng.normal_spinor(jax.random.key(21), (2, 4, 3) + LAT.site_shape, jnp.complex128)
+    res = invert_doublet_eo(u, b, PARAMS, LAT, tol=1e-10, maxiter=4000)
+    x = res.x
+    ph = boundary_phases(PARAMS.wilson, LAT)
+    hop = jnp.stack([dslash_full(u, x[0], ph, LAT), dslash_full(u, x[1], ph, LAT)])
+    mx = nd.mee_nd(x, PARAMS.mubar_t, PARAMS.epsbar_t, +1.0) - PARAMS.kappa * hop
+    rel = float(jnp.linalg.norm(mx - b) / jnp.linalg.norm(b))
+    assert rel < 1e-8, rel

@@ -73,3 +73,21 @@ def test_gauge_copy_structure():
         np.asarray(ph[0] * ueo[0, :, :, 0]).astype(np.complex64),
         atol=1e-6,
     )
+
+
+def test_sloppy_bf16_gauge_close_to_f32():
+    """bf16 gauge copy (mixed-precision inner-solve mode): same operator to
+    ~bf16 accuracy (reference: the _32 sloppy gauge copies)."""
+    import tmlqcd_tpu.ops.wilson_fast as wf
+
+    lat = Lattice((4, 4, 4, 4))
+    params = w.DiracParams(kappa=0.13, mu=0.05)
+    u = su3.random_su3(jax.random.key(6), (4,) + lat.site_shape, jnp.complex64)
+    psi = rng.normal_spinor(jax.random.key(7), (4, 3) + lat.eo_site_shape, jnp.complex64)
+    fg32 = wf.make_fast_gauge(u, params, lat)
+    fg16 = wf.make_fast_gauge(u, params, lat, sloppy=True)
+    assert fg16.ug_even.dtype == jnp.bfloat16
+    a = wf.q_hat_pm_fast(fg32, wf.to_split(psi), params, lat)
+    b = wf.q_hat_pm_fast(fg16, wf.to_split(psi), params, lat)
+    rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a))
+    assert rel < 0.05, rel  # bf16 has ~3 decimal digits

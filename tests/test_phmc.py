@@ -4,6 +4,7 @@ chebyshev_polynomial_nd.c, reweighting_factor.c)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tmlqcd_tpu import su3
 from tmlqcd_tpu.hmc.poly_monomials import NDPolyMonomial
@@ -56,11 +57,12 @@ def _mono():
     # identities are exact for ANY interval/degree; a modest degree keeps
     # the CPU test fast (approximation quality is tested separately above)
     return NDPolyMonomial(
-        lat=LAT, params=PARAMS, degree=32, s_min=0.05, s_max=6.0,
+        lat=LAT, params=PARAMS, degree=16, s_min=0.05, s_max=6.0,
         heatbath_tol=1e-12, maxiter=2000,
     )
 
 
+@pytest.mark.slow
 def test_ndpoly_heatbath_action_consistency():
     u = _u0()
     mono = _mono()
@@ -70,6 +72,7 @@ def test_ndpoly_heatbath_action_consistency():
     assert abs(float(s - s0)) / float(s0) < 1e-8  # exact up to CG tol
 
 
+@pytest.mark.slow
 def test_ndpoly_force_vs_finite_difference():
     u = _u0()
     mono = _mono()

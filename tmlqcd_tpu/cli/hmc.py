@@ -79,9 +79,10 @@ def main(argv=None):
         dt = time.perf_counter() - t0
         acc = int(st.accepted)
         n_acc += acc
+        iters = " ".join(str(int(i)) for i in st.acc_iterations)
         line = (
             f"{traj:08d} {float(st.plaquette):.12f} {float(rect_fn(u)):.12f} "
-            f"{float(st.delta_h):+.6e} {float(st.exp_mdh):.6e} {acc} {dt:.3f}"
+            f"{float(st.delta_h):+.6e} {float(st.exp_mdh):.6e} {acc} {dt:.3f} {iters}"
         )
         out.write(line + "\n")
         if cfg.debug_level >= 1:

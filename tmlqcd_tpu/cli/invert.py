@@ -28,6 +28,8 @@ def main(argv=None):
     ap.add_argument("--source", default="point", choices=["point", "z2"])
     ap.add_argument("--timeslice", type=int, default=0)
     ap.add_argument("--seed", type=int, default=171)
+    ap.add_argument("--format", default="lime", choices=["lime", "npz"],
+                    help="propagator output: SciDAC LIME records or npz")
     ap.add_argument("-o", "--output-dir", default=".")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -81,17 +83,23 @@ def main(argv=None):
                 f"{int(res.iterations)} iters, |r|^2={float(res.residual_sq):.3e}, {dt:.1f}s"
             )
 
-        out = os.path.join(args.output_dir, f"propagator.{iop:02d}.{traj:06d}.npz")
-        np.savez_compressed(
-            out,
-            propagator=sol,
-            spin_color=[(s, c) for s, c, _ in sources],
-            kappa=op.kappa,
-            mu=mu,
-            csw=op.csw,
-            dims=np.asarray(lat.dims),
-            trajectory=traj,
-        )
+        if args.format == "lime":
+            from tmlqcd_tpu.io.propagator import write_propagator
+
+            out = os.path.join(args.output_dir, f"propagator.{iop:02d}.{traj:06d}.lime")
+            write_propagator(out, [sol[i] for i in range(len(sources))], lat)
+        else:
+            out = os.path.join(args.output_dir, f"propagator.{iop:02d}.{traj:06d}.npz")
+            np.savez_compressed(
+                out,
+                propagator=sol,
+                spin_color=[(s, c) for s, c, _ in sources],
+                kappa=op.kappa,
+                mu=mu,
+                csw=op.csw,
+                dims=np.asarray(lat.dims),
+                trajectory=traj,
+            )
         print(f"[invert] wrote {out}")
     return 0
 

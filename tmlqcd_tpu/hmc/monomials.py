@@ -113,8 +113,13 @@ class DetMonomial:
         return cg(mv, b, tol=tol, maxiter=self.maxiter)
 
     def action(self, u, phi):
-        x = self._solve(u, phi, self.acc_tol).x
-        return dot_re_f64(phi, x)
+        return self.action_info(u, phi)[0]
+
+    def action_info(self, u, phi):
+        """(S, acceptance-solve iterations) — the per-monomial iteration
+        count of the reference's output.data / verbose solver logs."""
+        res = self._solve(u, phi, self.acc_tol)
+        return dot_re_f64(phi, res.x), res.iterations
 
     def force(self, u, phi):
         x = self._solve(u, phi, self.force_tol).x
@@ -167,10 +172,13 @@ class DetRatioMonomial:
         return _qhat_plus_full(u, phi, self.params2, self.lat, +1.0)
 
     def action(self, u, phi):
+        return self.action_info(u, phi)[0]
+
+    def action_info(self, u, phi):
         psi = self._psi(u, phi)
         mv1 = lambda x: _qhat_pm_full(u, x, self.params1, self.lat)
-        x = cg(mv1, psi, tol=self.acc_tol, maxiter=self.maxiter).x
-        return dot_re_f64(psi, x)
+        res = cg(mv1, psi, tol=self.acc_tol, maxiter=self.maxiter)
+        return dot_re_f64(psi, res.x), res.iterations
 
     def force(self, u, phi):
         psi = self._psi(u, phi)
@@ -242,9 +250,12 @@ class CloverDetMonomial:
         return phi, norm_sq_f64(eta)
 
     def action(self, u, phi):
+        return self.action_info(u, phi)[0]
+
+    def action_info(self, u, phi):
         qpm, _ = _clover_ops(u, self.params, self.lat)
-        x = cg(qpm, phi, tol=self.acc_tol, maxiter=self.maxiter).x
-        return dot_re_f64(phi, x)
+        res = cg(qpm, phi, tol=self.acc_tol, maxiter=self.maxiter)
+        return dot_re_f64(phi, res.x), res.iterations
 
     def force(self, u, phi):
         qpm, qplus = _clover_ops(u, self.params, self.lat)

@@ -81,10 +81,14 @@ class NDRatMonomial:
             return cl.q_nd_clover(ueo, sw_e, sw_o, chi, self.params, self.lat, ph)
         return nd.q_nd(ueo, chi, self.params, self.lat, ph)
 
+    def _mms_info(self, u, b, shifts: np.ndarray, tol: float):
+        mv = lambda x: self._q(u, self._q(u, x))
+        res = cg_multishift(mv, b, jnp.asarray(shifts), tol=tol, maxiter=self.maxiter)
+        return res.x, res.iterations
+
     def _mms(self, u, b, shifts: np.ndarray, tol: float):
         """Multishift solve (Q^2 + shift_k) x_k = b for all k."""
-        mv = lambda x: self._q(u, self._q(u, x))
-        return cg_multishift(mv, b, jnp.asarray(shifts), tol=tol, maxiter=self.maxiter).x
+        return self._mms_info(u, b, shifts, tol)[0]
 
     def heatbath(self, u, key):
         rat = self.rat
@@ -110,12 +114,15 @@ class NDRatMonomial:
         return phi, norm_sq_f64(eta)
 
     def action(self, u, phi):
+        return self.action_info(u, phi)[0]
+
+    def action_info(self, u, phi):
         rat = self.rat
-        xs = self._mms(u, phi, rat.sigma, self.acc_tol)
+        xs, iters = self._mms_info(u, phi, rat.sigma, self.acc_tol)
         s = jnp.asarray(0.0, jnp.float64)
         for j in range(rat.order):
             s = s + jnp.asarray(rat.rho[j], jnp.float64) * dot_re_f64(phi, xs[j])
-        return s
+        return s, iters
 
     def force(self, u, phi):
         rat = self.rat
@@ -134,3 +141,42 @@ class NDRatMonomial:
 
         g = jax.grad(surrogate)(u)
         return ta_force_from_grad(u, g)
+
+
+def ndrat_correction_samples(
+    mono: NDRatMonomial, u, key, n_samples: int = 6, order_hi: int | None = None
+):
+    """Stochastic estimate of the rational-approximation correction factor
+    (reference: monomial/ndratcor_monomial.c — the *cor monomials correct
+    det R^{-1} to det (Q^2)^{1/2} by noisy accept/reject; here the same
+    correction as reweighting samples, survey §2.7).
+
+    Exponent samples s_i with det(M)^{-1} = E[exp(s_i)], where
+    M = R_lo(Q^2) / R_hi(Q^2) and R_hi (order_hi, default 2x) stands in for
+    the exact x^{-1/2} (its own error is quadratically smaller).  One
+    multishift CG per rational application.
+    """
+    from tmlqcd_tpu.hmc.monomials import dot_re_f64, norm_sq_f64
+
+    hi = rational_invsqrt(order_hi or 2 * mono.order, mono.s_min, mono.s_max)
+    lo = mono.rat
+
+    def apply_rat(rat, v):
+        xs = mono._mms(u, v, rat.sigma, mono.acc_tol)
+        out = jnp.zeros_like(v)
+        for j in range(rat.order):
+            out = out + jnp.asarray(rat.rho[j], v.real.dtype) * xs[j]
+        return out
+
+    def apply_rat_inv(rat, v):
+        # R^{-1} v via CG on R (hermitian positive, well conditioned)
+        from tmlqcd_tpu.solvers.cg import cg
+
+        return cg(lambda x: apply_rat(rat, x), v, tol=mono.acc_tol, maxiter=mono.maxiter).x
+
+    samples = []
+    for i in range(n_samples):
+        eta = rng.normal_spinor(rng.fold(key, i), _nd_spinor_shape(mono.lat), u.dtype)
+        m_eta = apply_rat(lo, apply_rat_inv(hi, eta))
+        samples.append(norm_sq_f64(eta) - dot_re_f64(eta, m_eta))
+    return jnp.stack(samples)

@@ -38,7 +38,8 @@ class HMCConfig:
 
 class TrajectoryStats(NamedTuple):
     """Per-trajectory observables — the output.data column contract
-    (reference: survey §5.5: plaquette, dH, exp(-dH), accept flag)."""
+    (reference: survey §5.5: plaquette, dH, exp(-dH), accept flag,
+    per-monomial acceptance-solve iteration counts)."""
 
     plaquette: jax.Array
     delta_h: jax.Array
@@ -46,6 +47,7 @@ class TrajectoryStats(NamedTuple):
     accepted: jax.Array
     h_old: jax.Array
     h_new: jax.Array
+    acc_iterations: jax.Array  # [n_monomials] i32 (0 where no solve)
 
 
 def _heatbaths(cfg: HMCConfig, u, key):
@@ -70,8 +72,14 @@ def hmc_trajectory(cfg: HMCConfig, u: jax.Array, key: jax.Array):
     u_new, p_new = integrate(cfg.integrator, cfg.monomials, aux_list, u, p)
 
     s_new = jnp.asarray(0.0, jnp.float64)
+    iters = []
     for i, m in enumerate(cfg.monomials):
-        s_new = s_new + m.action(u_new, aux_list[i])
+        if hasattr(m, "action_info"):
+            s_i, it_i = m.action_info(u_new, aux_list[i])
+        else:
+            s_i, it_i = m.action(u_new, aux_list[i]), jnp.asarray(0, jnp.int32)
+        s_new = s_new + s_i
+        iters.append(jnp.asarray(it_i, jnp.int32))
     h_new = su3.kinetic_energy(p_new) + s_new
 
     dh = h_new - h_old
@@ -85,6 +93,7 @@ def hmc_trajectory(cfg: HMCConfig, u: jax.Array, key: jax.Array):
         accepted=accept,
         h_old=h_old,
         h_new=h_new,
+        acc_iterations=jnp.stack(iters),
     )
     return u_out, stats
 

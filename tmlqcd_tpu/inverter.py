@@ -30,7 +30,7 @@ from tmlqcd_tpu.ops import wilson as w
 from tmlqcd_tpu.solvers.cg import cg
 from tmlqcd_tpu.solvers.mixed_cg import mixed_cg
 
-__all__ = ["InvertResult", "invert_eo", "invert_clover_eo"]
+__all__ = ["InvertResult", "invert_eo", "invert_clover_eo", "invert_doublet_eo"]
 
 
 @dataclasses.dataclass
@@ -126,3 +126,58 @@ def invert_clover_eo(
         +1.0,
     )
     return InvertResult(x=eo_unpack(x_e, x_o, lat), iterations=iters, residual_sq=rsq)
+
+
+def invert_doublet_eo(
+    u: jax.Array,
+    b: jax.Array,
+    params,
+    lat: Lattice,
+    tol: float = 1e-10,
+    maxiter: int = 5000,
+) -> InvertResult:
+    """Solve the non-degenerate doublet system M_nd x = b for a flavor
+    doublet source b [2, 4, 3, T, X, Y*Z] (reference: invert_doublet_eo.c,
+    the DBTMWILSON operator path).
+
+    Odd solve via the hermitian Q_nd = gamma5 tau1 Mhat_nd:
+    Mhat x = bhat <=> Q_nd^2 x = Q_nd (g5 tau1 bhat)  (CG).
+    """
+    from tmlqcd_tpu.gamma import apply_gamma5 as g5
+    from tmlqcd_tpu.ops import ndoublet as nd
+
+    ueo = pack_gauge_eo(u, lat)
+    ph = w.boundary_phases(params.wilson, lat)
+    kappa = jnp.asarray(params.kappa, b.real.dtype)
+
+    be0, bo0 = eo_pack(b[0], lat)
+    be1, bo1 = eo_pack(b[1], lat)
+    b_e = jnp.stack([be0, be1])
+    b_o = jnp.stack([bo0, bo1])
+
+    def hop(chi, p):
+        return jnp.stack(
+            [
+                w.dslash_packed(ueo, chi[0], p, lat, ph),
+                w.dslash_packed(ueo, chi[1], p, lat, ph),
+            ]
+        )
+
+    t = nd.mee_inv_nd(b_e, params.mubar_t, params.epsbar_t, +1.0)
+    bhat = b_o + kappa * hop(t, ODD)
+
+    def g5tau1(chi):
+        return jnp.stack([g5(chi[1]), g5(chi[0])])
+
+    qnd = lambda x: nd.q_nd(ueo, x, params, lat, ph)
+    rhs = qnd(g5tau1(bhat))
+    res = cg(lambda x: qnd(qnd(x)), rhs, tol=tol, maxiter=maxiter)
+    x_o = res.x
+
+    x_e = nd.mee_inv_nd(
+        b_e + kappa * hop(x_o, EVEN), params.mubar_t, params.epsbar_t, +1.0
+    )
+    full = jnp.stack(
+        [eo_unpack(x_e[0], x_o[0], lat), eo_unpack(x_e[1], x_o[1], lat)]
+    )
+    return InvertResult(x=full, iterations=res.iterations, residual_sq=res.residual_sq)

@@ -54,6 +54,7 @@ __all__ = [
     "merge_c",
     "hopping_pallas",
     "hopping_pallas_split",
+    "hopping_pallas_tshard",
 ]
 
 # W[mu][fb]: 4x2 halfspinor maps with entries in {0, +-1, +-i}:
@@ -216,8 +217,10 @@ def _dslash_kernel(p: int, lat: Lattice, mt: int, nmb: int, scale: float,
         uh_im = [[None] * 3 for _ in range(2)]
         for i in range(3):
             for j in range(3):
-                gr = ug_ref[0, d, i, j, 0]
-                gi = ug_ref[1, d, i, j, 0]
+                # bf16 gauge (sloppy/mixed-precision mode) upcasts in VMEM:
+                # halves the dominant HBM stream (576 -> 288 B/site)
+                gr = ug_ref[0, d, i, j, 0].astype(jnp.float32)
+                gi = ug_ref[1, d, i, j, 0].astype(jnp.float32)
                 for a in range(2):
                     tr = gr * h_re[a][j] - gi * h_im[a][j]
                     ti = gr * h_im[a][j] + gi * h_re[a][j]
@@ -403,3 +406,114 @@ def hopping_pallas(
         interpret=interpret,
     )
     return merge_c(out, psi_q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip: t-sharded kernel under shard_map (reference: the MPI domain
+# decomposition + xchange_field halo exchange, survey §2.3 — here two thin
+# ppermute collectives glue the t-halos and each shard runs the same Mosaic
+# kernel on its local slab)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _build_ext(p: int, lat_loc: Lattice, mt: int, hw: int, scale: float, interpret: bool):
+    """Kernel over a LOCAL t-slab with explicit t-halos: psi_ext has
+    T_loc + 2 slices ([halo_lo | local | halo_hi]); no t-wrap in the index
+    maps (the halos came from the neighbor shards via ppermute)."""
+    t_loc, x_ext = lat_loc.dims[0], lat_loc.dims[1]
+    m = lat_loc.m
+    nmb = m // mt
+    assert mt % hw == 0 and m % mt == 0 and hw >= min(lat_loc.zh, mt)
+    r = mt // hw
+    nh = nmb * r
+
+    psi_block = (2, 4, 3, 1, x_ext, mt)
+    halo_block = (2, 4, 3, 1, x_ext, hw)
+    ug_block = (2, 8, 3, 3, 1, x_ext, mt)
+
+    def _mod(a, n: int):
+        return jax.lax.rem(a, jnp.int32(n))
+
+    specs = [
+        pl.BlockSpec(psi_block, lambda t, j: (t - t, t - t, t - t, t + 1, t - t, j)),
+        pl.BlockSpec(psi_block, lambda t, j: (t - t, t - t, t - t, t, t - t, j)),
+        pl.BlockSpec(psi_block, lambda t, j: (t - t, t - t, t - t, t + 2, t - t, j)),
+        pl.BlockSpec(
+            halo_block,
+            lambda t, j: (t - t, t - t, t - t, t + 1, t - t, _mod(j * r + (nh - 1), nh)),
+        ),
+        pl.BlockSpec(
+            halo_block,
+            lambda t, j: (t - t, t - t, t - t, t + 1, t - t, _mod((j + 1) * r, nh)),
+        ),
+        pl.BlockSpec(ug_block, lambda t, j: (t - t, t - t, t - t, t - t, t, t - t, j)),
+    ]
+    out_spec = pl.BlockSpec(psi_block, lambda t, j: (t - t, t - t, t - t, t, t - t, j))
+
+    kernel = functools.partial(_dslash_kernel, p, lat_loc, mt, nmb, scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(t_loc, nmb),
+        in_specs=specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((2, 4, 3, t_loc, x_ext, m), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def hopping_pallas_tshard(
+    ug_p: jax.Array,
+    psi_q: jax.Array,
+    p: int,
+    lat: Lattice,
+    mesh,
+    axis: str = "t",
+    mt: int | None = None,
+    interpret: bool = False,
+    scale: float = 1.0,
+) -> jax.Array:
+    """Sharded H_{p,q}: the t axis distributed over `mesh[axis]`; halo
+    exchange = two slice-ppermutes per application (the xchange_field
+    analog), compute = the local Mosaic kernel per shard.
+
+    Shard-count parity: T_loc must be EVEN so the in-kernel (t+x+y+p)
+    parity masks coincide with the global ones (asserted).
+    """
+    import os
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    tsh = int(mesh.shape[axis])
+    t_glob = lat.dims[0]
+    if t_glob % tsh or (t_glob // tsh) % 2:
+        raise ValueError(f"T={t_glob} must split into even slabs over {tsh} shards")
+    lat_loc = Lattice((t_glob // tsh,) + tuple(lat.dims[1:]))
+
+    budget = int(os.environ.get("TMLQCD_TPU_VMEM_MB", "14")) * 2**20
+    mt_auto, hw = _pick_tiles(lat_loc, vmem_budget=budget)
+    if mt is None:
+        mt = mt_auto
+    if mt == lat_loc.m and (lat_loc.m % 128 != 0 or lat_loc.m < 256):
+        hw = lat_loc.m
+    call = _build_ext(p, lat_loc, int(mt), int(hw), float(scale), interpret)
+
+    fwd = [(i, (i + 1) % tsh) for i in range(tsh)]
+    bwd = [(i, (i - 1) % tsh) for i in range(tsh)]
+
+    def local_fn(ug_l, psi_l):
+        halo_lo = jax.lax.ppermute(psi_l[:, :, :, -1:], axis, fwd)
+        halo_hi = jax.lax.ppermute(psi_l[:, :, :, :1], axis, bwd)
+        ext = jnp.concatenate([halo_lo, psi_l, halo_hi], axis=3)
+        return call(ext, ext, ext, ext, ext, ug_l)
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, None, None, axis, None, None),
+            P(None, None, None, axis, None, None),
+        ),
+        out_specs=P(None, None, None, axis, None, None),
+    )(ug_p, psi_q)

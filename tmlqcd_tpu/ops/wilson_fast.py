@@ -36,15 +36,22 @@ class FastGauge:
     ug_odd: jax.Array
 
 
-def make_fast_gauge(u: jax.Array, params: DiracParams, lat: Lattice) -> FastGauge:
+def make_fast_gauge(
+    u: jax.Array, params: DiracParams, lat: Lattice, sloppy: bool = False
+) -> FastGauge:
     """Full gauge [3,3,4,T,X,Mf] complex -> FastGauge (once per gauge
-    update; reference: update_backward_gauge())."""
+    update; reference: update_backward_gauge()).
+
+    sloppy=True stores the gathered links in bfloat16 — the TPU analog of
+    the reference's `_32` sloppy gauge copies (halfspinor32): halves the
+    dominant dslash HBM stream; pair with mixed_cg defect correction."""
     ph = boundary_phases(params, lat)
     ueo = pack_gauge_eo(u, lat)
     ug = dp.gauge_copy(ueo, lat, ph)
+    gdt = jnp.bfloat16 if sloppy else jnp.float32
     return FastGauge(
-        ug_even=dp.split_c(ug[EVEN]).astype(jnp.float32),
-        ug_odd=dp.split_c(ug[ODD]).astype(jnp.float32),
+        ug_even=dp.split_c(ug[EVEN]).astype(gdt),
+        ug_odd=dp.split_c(ug[ODD]).astype(gdt),
     )
 
 
