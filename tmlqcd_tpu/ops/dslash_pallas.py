@@ -482,9 +482,9 @@ def hopping_pallas_tshard(
     """
     import os
 
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
+    shard_map = jax.shard_map
     tsh = int(mesh.shape[axis])
     t_glob = lat.dims[0]
     if t_glob % tsh or (t_glob // tsh) % 2:
@@ -516,4 +516,6 @@ def hopping_pallas_tshard(
             P(None, None, None, axis, None, None),
         ),
         out_specs=P(None, None, None, axis, None, None),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation
+        check_vma=False,
     )(ug_p, psi_q)
