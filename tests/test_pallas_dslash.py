@@ -91,3 +91,18 @@ def test_sloppy_bf16_gauge_close_to_f32():
     b = wf.q_hat_pm_fast(fg16, wf.to_split(psi), params, lat)
     rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a))
     assert rel < 0.05, rel  # bf16 has ~3 decimal digits
+
+
+def test_fastmixed_inverter_matches_reference():
+    """invert_eo(solver='fastmixed'): bf16-gauge inner CG + f32 defect
+    correction reaches the same solution."""
+    from tmlqcd_tpu.inverter import invert_eo
+
+    lat = Lattice((4, 4, 4, 4))
+    params = w.DiracParams(kappa=0.13, mu=0.05)
+    u = su3.random_su3(jax.random.key(8), (4,) + lat.site_shape, jnp.complex64)
+    b = rng.normal_spinor(jax.random.key(9), (4, 3) + lat.site_shape, jnp.complex64)
+    x_ref = invert_eo(u, b, params, lat, tol=1e-7, maxiter=2000, solver="cg").x
+    x_mix = invert_eo(u, b, params, lat, tol=1e-7, maxiter=2000, solver="fastmixed").x
+    rel = float(jnp.linalg.norm(x_mix - x_ref) / jnp.linalg.norm(x_ref))
+    assert rel < 1e-4, rel
