@@ -18,6 +18,7 @@ from typing import Optional
 
 from tmlqcd_tpu.hmc import (
     CloverDetMonomial,
+    CloverDetRatioMonomial,
     CloverTrlogMonomial,
     DetMonomial,
     DetRatioMonomial,
@@ -185,6 +186,18 @@ def build_monomial(spec: MonomialSpec, lat: Lattice, beta: float, c1: float):
                 kappa=spec.kappa, mu=_mu(spec.two_kappa_mu, spec.kappa), c_sw=spec.csw
             ),
             name=spec.name or "cloverdet",
+            **common,
+        )
+    if ty == "CLOVERDETRATIO":
+        return CloverDetRatioMonomial(
+            lat=lat,
+            params1=DiracParams(
+                kappa=spec.kappa, mu=_mu(spec.two_kappa_mu, spec.kappa), c_sw=spec.csw
+            ),
+            params2=DiracParams(
+                kappa=spec.kappa, mu=_mu(spec.two_kappa_mu2, spec.kappa), c_sw=spec.csw
+            ),
+            name=spec.name or "cloverdetratio",
             **common,
         )
     if ty == "CLOVERTRLOG":

@@ -3,6 +3,7 @@ and the trajectory update (reference: monomial/, integrator.c, update_tm.c)."""
 
 from tmlqcd_tpu.hmc.monomials import (  # noqa: F401
     CloverDetMonomial,
+    CloverDetRatioMonomial,
     CloverTrlogMonomial,
     DetMonomial,
     DetRatioMonomial,

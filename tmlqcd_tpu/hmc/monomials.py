@@ -299,3 +299,84 @@ class CloverTrlogMonomial:
     def force(self, u, aux):
         g = jax.grad(self._action)(u)
         return ta_force_from_grad(u, g)
+
+
+@dataclasses.dataclass(frozen=True)
+class CloverDetRatioMonomial:
+    """Hasenbusch ratio for the twisted-CLOVER operator:
+    S = phi^+ Qsw_-(mu2) Qsw_pm(mu1)^{-1} Qsw_+(mu2) phi
+    (reference: monomial/cloverdetratio_monomial.c).
+
+    mu1 = target (light) twisted mass, mu2 = heavy preconditioner; kappa and
+    c_sw are shared, so the clover field/inverse blocks are built ONCE per
+    gauge and reused by both operators (exactly the reference's sw_term
+    refresh discipline)."""
+
+    lat: Lattice
+    params1: w.DiracParams  # light (target)
+    params2: w.DiracParams  # heavy preconditioner
+    timescale: int = 1
+    acc_tol: float = 1e-8
+    force_tol: float = 1e-7
+    maxiter: int = 1000
+    name: str = "cloverdetratio"
+
+    def __post_init__(self):
+        if (self.params1.kappa, self.params1.c_sw) != (self.params2.kappa, self.params2.c_sw):
+            raise ValueError("cloverdetratio: kappa/c_sw must match between operators")
+
+    def _ops(self, u):
+        from tmlqcd_tpu.ops import clover as cl
+
+        ueo = pack_gauge_eo(u, self.lat)
+        ph = w.boundary_phases(self.params1, self.lat)
+        sw_e, sw_o = cl.sw_blocks_eo(u, self.params1.kappa, self.params1.c_sw, self.lat)
+
+        def qpm1(x):
+            return cl.q_hat_pm_clover(ueo, sw_e, sw_o, x, self.params1, self.lat, ph)
+
+        def qplus(x, params, sign=+1.0):
+            return cl.q_hat_clover(ueo, sw_e, sw_o, x, params, self.lat, ph, sign)
+
+        return qpm1, qplus
+
+    def heatbath(self, u, key):
+        # phi = Qsw_+(2)^{-1} Qsw_-(1) eta via the (2)-normal equations
+        from tmlqcd_tpu.ops import clover as cl
+
+        ueo = pack_gauge_eo(u, self.lat)
+        ph = w.boundary_phases(self.params1, self.lat)
+        sw_e, sw_o = cl.sw_blocks_eo(u, self.params1.kappa, self.params1.c_sw, self.lat)
+        eta = rng.normal_spinor(key, eo_spinor_shape(self.lat), u.dtype)
+        b = cl.q_hat_clover(ueo, sw_e, sw_o, eta, self.params1, self.lat, ph, -1.0)
+        b2 = cl.q_hat_clover(ueo, sw_e, sw_o, b, self.params2, self.lat, ph, -1.0)
+        mv2 = lambda x: cl.q_hat_pm_clover(ueo, sw_e, sw_o, x, self.params2, self.lat, ph)
+        phi = cg(mv2, b2, tol=self.acc_tol, maxiter=self.maxiter).x
+        return phi, norm_sq_f64(eta)
+
+    def action(self, u, phi):
+        return self.action_info(u, phi)[0]
+
+    def action_info(self, u, phi):
+        qpm1, qplus = self._ops(u)
+        psi = qplus(phi, self.params2, +1.0)
+        res = cg(qpm1, psi, tol=self.acc_tol, maxiter=self.maxiter)
+        return dot_re_f64(psi, res.x), res.iterations
+
+    def force(self, u, phi):
+        qpm1, qplus = self._ops(u)
+        psi = qplus(phi, self.params2, +1.0)
+        x = cg(qpm1, psi, tol=self.force_tol, maxiter=self.maxiter).x
+        y = qplus(x, self.params1, +1.0)
+        phi_s = jax.lax.stop_gradient(phi)
+        x = jax.lax.stop_gradient(x)
+        y = jax.lax.stop_gradient(y)
+
+        def surrogate(uu):
+            _, qplus_u = self._ops(uu)
+            t2 = qplus_u(phi_s, self.params2, +1.0)
+            t1 = qplus_u(x, self.params1, +1.0)
+            return 2.0 * dot_re_f64(x, t2) - 2.0 * dot_re_f64(y, t1)
+
+        g = jax.grad(surrogate)(u)
+        return ta_force_from_grad(u, g)
