@@ -85,6 +85,38 @@ def _qhat_pm_full(u, psi_o, params, lat):
     return w.q_hat_pm(ueo, psi_o, params, lat, ph)
 
 
+def _use_fast_solves() -> bool:
+    """Route monomial CG solves through the Pallas split-f32 path on TPU.
+
+    The solves (heatbath/acceptance/force) all happen at STOPPED gradients —
+    only the force surrogate differentiates the operator, and it stays on
+    the jnp path — so no kernel VJP is needed.  On CPU the kernel would run
+    in interpret mode (slow), so the jnp path is kept there.  Override with
+    TMLQCD_TPU_FAST_SOLVES=0/1.
+    """
+    import os
+
+    env = os.environ.get("TMLQCD_TPU_FAST_SOLVES")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() == "tpu"
+
+
+def _solve_qpm(u, b, params, lat, tol, maxiter):
+    """CG on Qhat_pm: Pallas fast path on TPU, jnp path elsewhere
+    (reference: solve_degenerate routing to the accelerated backend)."""
+    if _use_fast_solves():
+        from tmlqcd_tpu.ops import wilson_fast as wf
+
+        fg = wf.make_fast_gauge(u, params, lat)
+        mv = lambda x2: wf.q_hat_pm_fast(fg, x2, params, lat)
+        res = cg(mv, wf.to_split(b), tol=tol, maxiter=maxiter)
+        return res._replace(x=wf.from_split(res.x, b.dtype))
+    mv = lambda x: _qhat_pm_full(u, x, params, lat)
+    return cg(mv, b, tol=tol, maxiter=maxiter)
+
+
+
 @dataclasses.dataclass(frozen=True)
 class DetMonomial:
     """Two-flavor degenerate pseudofermion: S = phi^+ (Qhat_pm)^{-1} phi,
@@ -109,8 +141,7 @@ class DetMonomial:
         return phi, norm_sq_f64(eta)
 
     def _solve(self, u, b, tol):
-        mv = lambda x: _qhat_pm_full(u, x, self.params, self.lat)
-        return cg(mv, b, tol=tol, maxiter=self.maxiter)
+        return _solve_qpm(u, b, self.params, self.lat, tol, self.maxiter)
 
     def action(self, u, phi):
         return self.action_info(u, phi)[0]
@@ -163,8 +194,7 @@ class DetRatioMonomial:
         eta = rng.normal_spinor(key, eo_spinor_shape(self.lat), u.dtype)
         b = _qhat_plus_full(u, eta, self.params1, self.lat, -1.0)
         b2 = _qhat_plus_full(u, b, self.params2, self.lat, -1.0)
-        mv2 = lambda x: _qhat_pm_full(u, x, self.params2, self.lat)
-        phi = cg(mv2, b2, tol=self.acc_tol, maxiter=self.maxiter).x
+        phi = _solve_qpm(u, b2, self.params2, self.lat, self.acc_tol, self.maxiter).x
         return phi, norm_sq_f64(eta)
 
     def _psi(self, u, phi):
@@ -176,14 +206,12 @@ class DetRatioMonomial:
 
     def action_info(self, u, phi):
         psi = self._psi(u, phi)
-        mv1 = lambda x: _qhat_pm_full(u, x, self.params1, self.lat)
-        res = cg(mv1, psi, tol=self.acc_tol, maxiter=self.maxiter)
+        res = _solve_qpm(u, psi, self.params1, self.lat, self.acc_tol, self.maxiter)
         return dot_re_f64(psi, res.x), res.iterations
 
     def force(self, u, phi):
         psi = self._psi(u, phi)
-        mv1 = lambda x: _qhat_pm_full(u, x, self.params1, self.lat)
-        x = cg(mv1, psi, tol=self.force_tol, maxiter=self.maxiter).x
+        x = _solve_qpm(u, psi, self.params1, self.lat, self.force_tol, self.maxiter).x
         y = _qhat_plus_full(u, x, self.params1, self.lat, +1.0)
         phi_s = jax.lax.stop_gradient(phi)
         x = jax.lax.stop_gradient(x)
