@@ -19,12 +19,11 @@ hand-derived deriv_Sb.c outer-product kernels with AD through the dslash.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 
-from tmlqcd_tpu import rng, su3
+from tmlqcd_tpu import rng
 from tmlqcd_tpu.lattice import Lattice, pack_gauge_eo
 from tmlqcd_tpu.ops import wilson as w
 from tmlqcd_tpu.ops.gauge_action import gauge_action, ta_force_from_grad

@@ -19,7 +19,6 @@ lattice spinors [4, 3, T, X, Y*Z].
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
