@@ -106,3 +106,53 @@ def test_fastmixed_inverter_matches_reference():
     x_mix = invert_eo(u, b, params, lat, tol=1e-7, maxiter=2000, solver="fastmixed").x
     rel = float(jnp.linalg.norm(x_mix - x_ref) / jnp.linalg.norm(x_ref))
     assert rel < 1e-4, rel
+
+
+def test_q_nd_fast_matches_reference():
+    """Split-path Q_nd (pallas, interpret off-TPU) == complex Q_nd."""
+    import numpy as np
+
+    import tmlqcd_tpu.ops.wilson_fast as wf
+    from tmlqcd_tpu.ops import ndoublet as nd
+
+    lat = Lattice((4, 4, 4, 4))
+    params = nd.NDParams(kappa=0.15, mubar=0.12, epsbar=0.05)
+    u = su3.random_su3(jax.random.key(10), (4,) + lat.site_shape, jnp.complex64)
+    chi = rng.normal_spinor(jax.random.key(11), (2, 4, 3) + lat.eo_site_shape, jnp.complex64)
+    ueo = pack_gauge_eo(u, lat)
+    ph = w.boundary_phases(params.wilson, lat)
+    ref = nd.q_nd(ueo, chi, params, lat, ph)
+
+    fg = wf.make_fast_gauge(u, params.wilson, lat)
+    chi2 = jnp.stack([chi.real, chi.imag]).astype(jnp.float32)
+    out2 = wf.q_nd_fast(fg, chi2, params, lat)
+    out = jax.lax.complex(out2[0], out2[1])
+    assert float(jnp.max(jnp.abs(out - ref))) < 2e-4
+
+
+def test_ndrat_fast_multishift_matches_reference():
+    """NDRatMonomial action with TMLQCD_TPU_FAST_SOLVES=1 (interpret pallas)
+    equals the jnp path."""
+    import os
+
+    from tmlqcd_tpu.hmc.rational_monomials import NDRatMonomial
+    from tmlqcd_tpu.ops import ndoublet as nd
+
+    lat = Lattice((4, 4, 4, 4))
+    params = nd.NDParams(kappa=0.15, mubar=0.12, epsbar=0.05)
+    mono = NDRatMonomial(lat=lat, params=params, order=6, s_min=5e-3, s_max=6.0,
+                         acc_tol=1e-8, maxiter=1500)
+    u = su3.random_su3(jax.random.key(12), (4,) + lat.site_shape, jnp.complex64)
+    phi = rng.normal_spinor(jax.random.key(13), (2, 4, 3) + lat.eo_site_shape, jnp.complex64)
+    old = os.environ.get("TMLQCD_TPU_FAST_SOLVES")
+    try:
+        os.environ["TMLQCD_TPU_FAST_SOLVES"] = "0"
+        s_ref = float(mono.action(u, phi))
+        os.environ["TMLQCD_TPU_FAST_SOLVES"] = "1"
+        s_fast = float(mono.action(u, phi))
+    finally:
+        if old is None:
+            os.environ.pop("TMLQCD_TPU_FAST_SOLVES", None)
+        else:
+            os.environ["TMLQCD_TPU_FAST_SOLVES"] = old
+    assert abs(s_fast - s_ref) / abs(s_ref) < 1e-4, (s_fast, s_ref)

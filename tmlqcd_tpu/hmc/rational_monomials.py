@@ -82,6 +82,22 @@ class NDRatMonomial:
         return nd.q_nd(ueo, chi, self.params, self.lat, ph)
 
     def _mms_info(self, u, b, shifts: np.ndarray, tol: float):
+        from tmlqcd_tpu.hmc.monomials import _use_fast_solves
+
+        if self.params.c_sw == 0.0 and _use_fast_solves():
+            # the multishift CG (the dominant cost of every heatbath/
+            # acceptance/force) on the Pallas split path; solutions are
+            # stopped gradients, so no kernel VJP is needed
+            from tmlqcd_tpu.ops import dslash_pallas as dpl
+            from tmlqcd_tpu.ops import wilson_fast as wf
+
+            fg = wf.make_fast_gauge(u, self.params.wilson, self.lat)
+            mv = lambda c2: wf.q_nd_sq_fast(fg, c2, self.params, self.lat)
+            res = cg_multishift(
+                mv, wf.to_split(b), jnp.asarray(shifts), tol=tol, maxiter=self.maxiter
+            )
+            xs = jax.vmap(lambda x2: dpl.merge_c(x2, b.dtype))(res.x)
+            return xs, res.iterations
         mv = lambda x: self._q(u, self._q(u, x))
         res = cg_multishift(mv, b, jnp.asarray(shifts), tol=tol, maxiter=self.maxiter)
         return res.x, res.iterations

@@ -115,3 +115,72 @@ def q_hat_pm_fast(
     (reference: Qtm_pm_psi)."""
     tmp = q_hat_fast(fg, psi2_o, params, lat, +1.0)
     return q_hat_fast(fg, tmp, params, lat, -1.0)
+
+
+# ---------------------------------------------------------------------------
+# Non-degenerate doublet on the split/Pallas path (reference:
+# tm_operators_nd.c's hot loop inside the NDRAT multishift solves)
+# ---------------------------------------------------------------------------
+
+
+def _tau1_split(chi2: jax.Array) -> jax.Array:
+    """Flavor swap for split doublets [2(ri), 2(fl), 4, 3, T, X, M]."""
+    return chi2[:, ::-1]
+
+
+def _gamma5_nd(chi2: jax.Array) -> jax.Array:
+    sign = jnp.asarray([1.0, 1.0, -1.0, -1.0], chi2.dtype).reshape(
+        (1, 1, 4) + (1,) * (chi2.ndim - 3)
+    )
+    return chi2 * sign
+
+
+def _i_mul_nd(chi2: jax.Array) -> jax.Array:
+    return jnp.stack([-chi2[1], chi2[0]])
+
+
+def _mee_nd_split(chi2, mubar_t: float, epsbar_t: float, sign: float) -> jax.Array:
+    """(1 + i sign mubar g5 tau3 + epsbar tau1) chi in split layout."""
+    ig5 = _i_mul_nd(_gamma5_nd(chi2))
+    mu = jnp.float32(sign * mubar_t)
+    tau3 = jnp.asarray([1.0, -1.0], chi2.dtype).reshape(
+        (1, 2) + (1,) * (chi2.ndim - 2)
+    )
+    return chi2 + mu * tau3 * ig5 + jnp.float32(epsbar_t) * _tau1_split(chi2)
+
+
+def _mee_inv_nd_split(chi2, mubar_t: float, epsbar_t: float, sign: float) -> jax.Array:
+    ig5 = _i_mul_nd(_gamma5_nd(chi2))
+    mu = jnp.float32(sign * mubar_t)
+    tau3 = jnp.asarray([1.0, -1.0], chi2.dtype).reshape(
+        (1, 2) + (1,) * (chi2.ndim - 2)
+    )
+    inv = jnp.float32(1.0 / (1.0 + mubar_t * mubar_t - epsbar_t * epsbar_t))
+    return (chi2 - mu * tau3 * ig5 - jnp.float32(epsbar_t) * _tau1_split(chi2)) * inv
+
+
+def _hop_nd(fg: FastGauge, chi2: jax.Array, p: int, lat: Lattice) -> jax.Array:
+    interp = _interpret()
+    ug = fg.ug_even if p == EVEN else fg.ug_odd
+    return jnp.stack(
+        [
+            dp.hopping_pallas_split(ug, chi2[:, 0], p, lat, interpret=interp),
+            dp.hopping_pallas_split(ug, chi2[:, 1], p, lat, interpret=interp),
+        ],
+        axis=1,
+    )
+
+
+def q_nd_fast(fg: FastGauge, chi2: jax.Array, params, lat: Lattice) -> jax.Array:
+    """Q_nd = gamma5 tau1 Mhat_nd on split doublets
+    [2(ri), 2(fl), 4, 3, T, X, M] (reference: Qtm_ndpsi)."""
+    k2 = jnp.float32(params.kappa * params.kappa)
+    tmp = _hop_nd(fg, chi2, EVEN, lat)
+    tmp = _mee_inv_nd_split(tmp, params.mubar_t, params.epsbar_t, +1.0)
+    tmp = _hop_nd(fg, tmp, ODD, lat)
+    m = _mee_nd_split(chi2, params.mubar_t, params.epsbar_t, +1.0) - k2 * tmp
+    return _gamma5_nd(_tau1_split(m))
+
+
+def q_nd_sq_fast(fg: FastGauge, chi2: jax.Array, params, lat: Lattice) -> jax.Array:
+    return q_nd_fast(fg, q_nd_fast(fg, chi2, params, lat), params, lat)
