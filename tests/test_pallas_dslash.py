@@ -156,3 +156,48 @@ def test_ndrat_fast_multishift_matches_reference():
         else:
             os.environ["TMLQCD_TPU_FAST_SOLVES"] = old
     assert abs(s_fast - s_ref) / abs(s_ref) < 1e-4, (s_fast, s_ref)
+
+
+def test_q_clover_fast_matches_reference():
+    """Split-path Qsw_pm (materialized blocks + pallas hopping) == complex."""
+    import tmlqcd_tpu.ops.wilson_fast as wf
+    from tmlqcd_tpu.ops import clover as cl
+
+    lat = Lattice((4, 4, 4, 4))
+    params = w.DiracParams(kappa=0.14, mu=0.04, c_sw=1.3)
+    u = su3.random_su3(jax.random.key(14), (4,) + lat.site_shape, jnp.complex64)
+    psi = rng.normal_spinor(jax.random.key(15), (4, 3) + lat.eo_site_shape, jnp.complex64)
+    ueo = pack_gauge_eo(u, lat)
+    ph = w.boundary_phases(params, lat)
+    sw_e, sw_o = cl.sw_blocks_eo(u, params.kappa, params.c_sw, lat)
+    ref = cl.q_hat_pm_clover(ueo, sw_e, sw_o, psi, params, lat, ph)
+    fc = wf.make_fast_clover(u, params, lat)
+    out = wf.from_split(wf.q_hat_pm_clover_fast(fc, wf.to_split(psi), params, lat))
+    assert float(jnp.max(jnp.abs(out - ref))) < 3e-4
+
+
+def test_cloverdet_fast_solve_matches_reference():
+    """CloverDetMonomial action with fast solves == jnp path."""
+    import os
+
+    from tmlqcd_tpu.hmc import CloverDetMonomial
+
+    lat = Lattice((4, 4, 4, 4))
+    mono = CloverDetMonomial(
+        lat=lat, params=w.DiracParams(kappa=0.14, mu=0.02, c_sw=1.3),
+        acc_tol=1e-8, force_tol=1e-8, maxiter=1500,
+    )
+    u = su3.random_su3(jax.random.key(16), (4,) + lat.site_shape, jnp.complex64)
+    old = os.environ.get("TMLQCD_TPU_FAST_SOLVES")
+    try:
+        os.environ["TMLQCD_TPU_FAST_SOLVES"] = "0"
+        phi, _ = mono.heatbath(u, jax.random.key(17))
+        s_ref = float(mono.action(u, phi))
+        os.environ["TMLQCD_TPU_FAST_SOLVES"] = "1"
+        s_fast = float(mono.action(u, phi))
+    finally:
+        if old is None:
+            os.environ.pop("TMLQCD_TPU_FAST_SOLVES", None)
+        else:
+            os.environ["TMLQCD_TPU_FAST_SOLVES"] = old
+    assert abs(s_fast - s_ref) / abs(s_ref) < 1e-4, (s_fast, s_ref)

@@ -254,6 +254,20 @@ def _clover_ops(u, params, lat):
     return qpm, qplus
 
 
+def _solve_qsw(u, b, params, lat, tol, maxiter):
+    """CG on Qsw_pm: Pallas fast path on TPU (materialized M_oo / M_ee^{-1}
+    blocks + kernel hopping), jnp path elsewhere."""
+    if _use_fast_solves():
+        from tmlqcd_tpu.ops import wilson_fast as wf
+
+        fc = wf.make_fast_clover(u, params, lat)
+        mv = lambda x2: wf.q_hat_pm_clover_fast(fc, x2, params, lat)
+        res = cg(mv, wf.to_split(b), tol=tol, maxiter=maxiter)
+        return res._replace(x=wf.from_split(res.x, b.dtype))
+    qpm, _ = _clover_ops(u, params, lat)
+    return cg(qpm, b, tol=tol, maxiter=maxiter)
+
+
 @dataclasses.dataclass(frozen=True)
 class CloverDetMonomial:
     """Two-flavor twisted-clover pseudofermion: S = phi^+ (Qsw_pm)^{-1} phi
@@ -280,13 +294,12 @@ class CloverDetMonomial:
         return self.action_info(u, phi)[0]
 
     def action_info(self, u, phi):
-        qpm, _ = _clover_ops(u, self.params, self.lat)
-        res = cg(qpm, phi, tol=self.acc_tol, maxiter=self.maxiter)
+        res = _solve_qsw(u, phi, self.params, self.lat, self.acc_tol, self.maxiter)
         return dot_re_f64(phi, res.x), res.iterations
 
     def force(self, u, phi):
-        qpm, qplus = _clover_ops(u, self.params, self.lat)
-        x = cg(qpm, phi, tol=self.force_tol, maxiter=self.maxiter).x
+        _, qplus = _clover_ops(u, self.params, self.lat)
+        x = _solve_qsw(u, phi, self.params, self.lat, self.force_tol, self.maxiter).x
         y = qplus(x, +1.0)
         x = jax.lax.stop_gradient(x)
         y = jax.lax.stop_gradient(y)
@@ -385,15 +398,15 @@ class CloverDetRatioMonomial:
         return self.action_info(u, phi)[0]
 
     def action_info(self, u, phi):
-        qpm1, qplus = self._ops(u)
+        _, qplus = self._ops(u)
         psi = qplus(phi, self.params2, +1.0)
-        res = cg(qpm1, psi, tol=self.acc_tol, maxiter=self.maxiter)
+        res = _solve_qsw(u, psi, self.params1, self.lat, self.acc_tol, self.maxiter)
         return dot_re_f64(psi, res.x), res.iterations
 
     def force(self, u, phi):
-        qpm1, qplus = self._ops(u)
+        _, qplus = self._ops(u)
         psi = qplus(phi, self.params2, +1.0)
-        x = cg(qpm1, psi, tol=self.force_tol, maxiter=self.maxiter).x
+        x = _solve_qsw(u, psi, self.params1, self.lat, self.force_tol, self.maxiter).x
         y = qplus(x, self.params1, +1.0)
         phi_s = jax.lax.stop_gradient(phi)
         x = jax.lax.stop_gradient(x)

@@ -122,7 +122,14 @@ def invert_clover_eo(
     qpm = lambda x: cl.q_hat_pm_clover(ueo, sw_e, sw_o, x, params, lat, ph)
     rhs = cl.q_hat_clover(ueo, sw_e, sw_o, apply_gamma5(bhat), params, lat, ph, -1.0)
 
-    if solver == "mixedcg":
+    if solver == "fastcg":
+        from tmlqcd_tpu.ops import wilson_fast as wf
+
+        fc = wf.make_fast_clover(u, params, lat)
+        mv = lambda x2: wf.q_hat_pm_clover_fast(fc, x2, params, lat)
+        res = cg(mv, wf.to_split(rhs), tol=tol, maxiter=maxiter)
+        x_o, iters, rsq = wf.from_split(res.x, b.dtype), res.iterations, res.residual_sq
+    elif solver == "mixedcg":
         res = mixed_cg(qpm, rhs, tol=tol, max_inner=maxiter)
         x_o, iters, rsq = res.x, res.inner_iterations, res.residual_sq
     else:

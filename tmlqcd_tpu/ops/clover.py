@@ -419,3 +419,46 @@ def q_nd_clover(ueo, sw_e, sw_o, chi_o, params, lat: Lattice, phases):
 
     m = m_hat_nd_clover(ueo, sw_e, sw_o, chi_o, params, lat, phases, +1.0)[::-1]
     return jnp.stack([apply_gamma5(m[0]), apply_gamma5(m[1])])
+
+
+def mee_blocks(sw: jax.Array, mutld: float, sign: float = +1.0) -> jax.Array:
+    """Materialize M_ee(+-) = 1 + T +- i mutld gamma5 as explicit 6x6 blocks
+    [2(chir), 2, 2, 3, 3, sites] (for the fast/block-matvec path)."""
+    rows = []
+    for b, (s0, pm) in enumerate(((0, +1.0), (2, -1.0))):
+        mt = jnp.asarray(pm * 1j * sign * mutld, sw.dtype)
+        p, q, r, s = _block66(sw[b], mt, sw.dtype)
+        rows.append(jnp.stack([jnp.stack([p, q]), jnp.stack([r, s])]))
+    return jnp.stack(rows)
+
+
+def mee_inv_blocks(sw: jax.Array, mutld: float, sign: float = +1.0) -> jax.Array:
+    """Materialize M_ee(+-)^{-1} as explicit blocks, computed ONCE per gauge
+    (reference: sw_invert stores the inverted 6x6 blocks; here via the
+    2x2-of-3x3 Schur closed form).  Same layout as mee_blocks."""
+    rows = []
+    for b, (s0, pm) in enumerate(((0, +1.0), (2, -1.0))):
+        mt = jnp.asarray(pm * 1j * sign * mutld, sw.dtype)
+        p, q, r, s = _block66(sw[b], mt, sw.dtype)
+        pinv, _ = _inv3(p)
+        rp = su3.mul(r, pinv)  # R P^{-1}
+        stilde = s - su3.mul(rp, q)
+        sti, _ = _inv3(stilde)
+        pq = su3.mul(pinv, q)  # P^{-1} Q
+        qi = -su3.mul(pq, sti)
+        ri = -su3.mul(sti, rp)
+        pi = pinv - su3.mul(qi, rp)
+        rows.append(jnp.stack([jnp.stack([pi, qi]), jnp.stack([ri, sti])]))
+    return jnp.stack(rows)
+
+
+def blocks_apply(blocks: jax.Array, psi: jax.Array) -> jax.Array:
+    """Apply materialized chirality blocks [2,2,2,3,3,sites] to a spinor
+    [4,3,sites]: out[s0+s] = sum_{s',c'} blocks[b,s,s'] psi[s0+s']."""
+    outs = []
+    for b, s0 in ((0, 0), (1, 2)):
+        for s in range(2):
+            acc0 = su3.matvec(blocks[b, s, 0], psi[s0])
+            acc1 = su3.matvec(blocks[b, s, 1], psi[s0 + 1])
+            outs.append(acc0 + acc1)
+    return jnp.stack(outs)

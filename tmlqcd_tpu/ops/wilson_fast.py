@@ -184,3 +184,93 @@ def q_nd_fast(fg: FastGauge, chi2: jax.Array, params, lat: Lattice) -> jax.Array
 
 def q_nd_sq_fast(fg: FastGauge, chi2: jax.Array, params, lat: Lattice) -> jax.Array:
     return q_nd_fast(fg, q_nd_fast(fg, chi2, params, lat), params, lat)
+
+
+# ---------------------------------------------------------------------------
+# Twisted-clover on the split/Pallas path (reference: the Qsw_pm hot loop of
+# cloverdet solves; sw_invert's pre-inverted blocks)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class FastClover:
+    """Pre-gathered gauge + materialized clover blocks (split f32):
+    moo[sign] = M_oo(+-) blocks, mee_inv[sign] = M_ee(+-)^{-1} blocks,
+    each [2(ri), 2(chir), 2, 2, 3, 3, T, X, M] — built once per gauge
+    (reference: sw_term + sw_invert refresh discipline)."""
+
+    fg: FastGauge
+    moo_p: jax.Array
+    moo_m: jax.Array
+    mee_inv_p: jax.Array
+    mee_inv_m: jax.Array
+
+
+def make_fast_clover(u: jax.Array, params: DiracParams, lat: Lattice) -> FastClover:
+    from tmlqcd_tpu.ops import clover as cl
+
+    sw_e, sw_o = cl.sw_blocks_eo(u, params.kappa, params.c_sw, lat)
+    sp = lambda x: dp.split_c(x).astype(jnp.float32)
+    return FastClover(
+        fg=make_fast_gauge(u, params, lat),
+        moo_p=sp(cl.mee_blocks(sw_o, params.mutld, +1.0)),
+        moo_m=sp(cl.mee_blocks(sw_o, params.mutld, -1.0)),
+        mee_inv_p=sp(cl.mee_inv_blocks(sw_e, params.mutld, +1.0)),
+        mee_inv_m=sp(cl.mee_inv_blocks(sw_e, params.mutld, -1.0)),
+    )
+
+
+def _blocks_apply_split(blk2: jax.Array, psi2: jax.Array) -> jax.Array:
+    """Split-complex chirality-block matvec: blk2 [2,2,2,2,3,3,sites],
+    psi2 [2,4,3,sites] -> [2,4,3,sites]."""
+    outs_re, outs_im = [], []
+    for b, s0 in ((0, 0), (1, 2)):
+        for s in range(2):
+            for c in range(3):
+                acc_re = None
+                acc_im = None
+                for sp_ in range(2):
+                    for cp in range(3):
+                        br = blk2[0, b, s, sp_, c, cp]
+                        bi = blk2[1, b, s, sp_, c, cp]
+                        pr = psi2[0, s0 + sp_, cp]
+                        pi = psi2[1, s0 + sp_, cp]
+                        tr = br * pr - bi * pi
+                        ti = br * pi + bi * pr
+                        acc_re = tr if acc_re is None else acc_re + tr
+                        acc_im = ti if acc_im is None else acc_im + ti
+                outs_re.append(acc_re)
+                outs_im.append(acc_im)
+    n = len(outs_re)
+    re = jnp.stack(outs_re).reshape((4, 3) + psi2.shape[3:])
+    im = jnp.stack(outs_im).reshape((4, 3) + psi2.shape[3:])
+    return jnp.stack([re, im])
+
+
+def m_hat_clover_fast(
+    fc: FastClover, psi2_o: jax.Array, params: DiracParams, lat: Lattice, sign: float = +1.0
+) -> jax.Array:
+    """Clover Schur complement on split fields (reference: Msw of
+    clovertm_operators.c): M_oo(+-) psi - k^2 H_oe M_ee(+-)^{-1} H_eo psi."""
+    interp = _interpret()
+    k2 = jnp.float32(params.kappa * params.kappa)
+    mee_inv = fc.mee_inv_p if sign > 0 else fc.mee_inv_m
+    moo = fc.moo_p if sign > 0 else fc.moo_m
+    tmp = dp.hopping_pallas_split(fc.fg.ug_even, psi2_o, EVEN, lat, interpret=interp)
+    tmp = _blocks_apply_split(mee_inv, tmp)
+    tmp = dp.hopping_pallas_split(fc.fg.ug_odd, tmp, ODD, lat, interpret=interp)
+    return _blocks_apply_split(moo, psi2_o) - k2 * tmp
+
+
+def q_hat_clover_fast(
+    fc: FastClover, psi2_o: jax.Array, params: DiracParams, lat: Lattice, sign: float = +1.0
+) -> jax.Array:
+    return _gamma5(m_hat_clover_fast(fc, psi2_o, params, lat, sign))
+
+
+def q_hat_pm_clover_fast(
+    fc: FastClover, psi2_o: jax.Array, params: DiracParams, lat: Lattice
+) -> jax.Array:
+    """Qsw_pm on split fields (reference: Qsw_pm_psi)."""
+    tmp = q_hat_clover_fast(fc, psi2_o, params, lat, +1.0)
+    return q_hat_clover_fast(fc, tmp, params, lat, -1.0)
