@@ -53,10 +53,12 @@ class Session:
         from tmlqcd_tpu.io import ildg
         from tmlqcd_tpu.ops.gauge_action import plaquette
 
+        from tmlqcd_tpu.utils import to_host
+
         if fmt == "ildg":
             ildg.write_gauge_field(
                 path,
-                self.gauge,
+                to_host(self.gauge),
                 self.lat,
                 plaquette=float(plaquette(self.gauge, self.lat)),
                 trajectory=self.trajectory,
@@ -65,7 +67,7 @@ class Session:
         else:
             import numpy as np
 
-            np.savez(path, gauge=np.asarray(self.gauge))
+            np.savez(path, gauge=to_host(self.gauge))
 
     def hot_start(self, seed: int | None = None) -> None:
         key = jax.random.key(self.cfg.seed if seed is None else seed)

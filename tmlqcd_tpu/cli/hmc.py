@@ -53,7 +53,9 @@ def main(argv=None):
         info = latest_checkpoint(run_dir)
         if info is None:
             print(f"[hmc] no checkpoint in {run_dir}, falling back to hot start")
-            u = su3.random_su3(jax.random.fold_in(key, 0), (4,) + lat.site_shape)
+            u = jax.jit(lambda k: su3.random_su3(k, (4,) + lat.site_shape))(
+                jax.random.fold_in(key, 0)
+            )
         else:
             arr, start_traj, _ = load_checkpoint(info.path, lat)
             u = jnp.asarray(arr)
@@ -63,8 +65,10 @@ def main(argv=None):
             jnp.eye(3, dtype=jnp.complex64).reshape(3, 3, 1, 1, 1, 1),
             (3, 3, 4) + lat.site_shape,
         )
-    else:  # hot
-        u = su3.random_su3(jax.random.fold_in(key, 0), (4,) + lat.site_shape)
+    else:  # hot (jitted: eager op chains are fragile on the remote-TPU path)
+        u = jax.jit(lambda k: su3.random_su3(k, (4,) + lat.site_shape))(
+            jax.random.fold_in(key, 0)
+        )
 
     step = jax.jit(functools.partial(hmc_trajectory, hmc))
     rect_fn = jax.jit(lambda u: rectangle(u, lat))

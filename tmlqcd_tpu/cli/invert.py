@@ -77,7 +77,9 @@ def main(argv=None):
             res = inv(u, src, params, lat, tol=tol, maxiter=op.max_solver_iterations)
             jax.block_until_ready(res.x)
             dt = time.perf_counter() - t0
-            sol[i] = np.asarray(res.x)
+            from tmlqcd_tpu.utils import to_host
+
+            sol[i] = to_host(res.x)
             print(
                 f"[invert] op {iop} ({op.type}) source (s={s},c={c}): "
                 f"{int(res.iterations)} iters, |r|^2={float(res.residual_sq):.3e}, {dt:.1f}s"

@@ -43,8 +43,10 @@ def save_checkpoint(
 ) -> str:
     """Write conf.{trajectory:06d}(.npz|.lime) + nstore_counter atomically;
     prune to the newest `keep` configs (reference: Nsave cadence + nstore)."""
+    from tmlqcd_tpu.utils import to_host
+
     os.makedirs(run_dir, exist_ok=True)
-    u = np.asarray(u)
+    u = to_host(u)
     if fmt == "native":
         name = f"conf.{trajectory:06d}.npz"
         tmp = os.path.join(run_dir, name + ".tmp")

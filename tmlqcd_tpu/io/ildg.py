@@ -108,8 +108,10 @@ def write_gauge_field(path: str, u, lat: Lattice, precision: int = 64, **meta) -
     u: [3,3,4,T,X,Y*Z] complex (jax or numpy); meta: plaquette, trajectory,
     beta, kappa, mu forwarded to the xlf-info record.
     """
+    from tmlqcd_tpu.utils import to_host
+
     hdr = GaugeHeader(lat=lat, precision=precision, **meta)
-    a = _to_disk_order(np.asarray(u), lat)
+    a = _to_disk_order(to_host(u), lat)
     fdtype = np.float64 if precision == 64 else np.float32
     # complex -> interleaved re/im floats at target precision, big-endian
     reim = np.stack([a.real, a.imag], axis=-1).astype(fdtype)

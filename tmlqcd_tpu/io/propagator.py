@@ -50,7 +50,9 @@ def write_propagator(path: str, components, lat: Lattice, precision: int = 64) -
     """components: iterable of full-lattice spinor fields [4,3,T,X,Y*Z]
     (one per source spin-color); writes the multi-record LIME file
     (reference: write_spinor per component)."""
-    comps = [np.asarray(c) for c in components]
+    from tmlqcd_tpu.utils import to_host
+
+    comps = [to_host(c) for c in components]
     fdtype = np.float64 if precision == 64 else np.float32
     records = [
         LimeRecord("etmc-propagator-format", _format_xml(lat, precision).encode(), True, False)

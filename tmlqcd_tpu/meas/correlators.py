@@ -58,11 +58,16 @@ def pion_correlator(psi: jax.Array, lat: Lattice, t0: int = 0) -> jax.Array:
 
 def pa_correlator(psi: jax.Array, lat: Lattice, t0: int = 0) -> jax.Array:
     """C_PA0(t) [T] f64: insertion of gamma0 gamma5 on the sink
-    (reference: the <PA> column of onlinemeas; PCAC mass input)."""
+    (reference: the <PA> column of onlinemeas; PCAC mass input).
+
+    gamma0 gamma5 is ANTI-hermitian, so psi^+ (g0 g5) psi is purely
+    imaginary — the physical correlator is its imaginary part (the real
+    part vanishes identically; the reference's <PA> for the twisted pair
+    carries the same i)."""
     g0g5 = GAMMA[0] @ GAMMA5
     gpsi = _spin_matrix_insert(psi, g0g5)
     corr = jnp.sum(
-        (jnp.conj(psi) * gpsi).real.astype(jnp.float64), axis=(0, 1, 3, 4)
+        (jnp.conj(psi) * gpsi).imag.astype(jnp.float64), axis=(0, 1, 3, 4)
     )
     return jnp.roll(corr, -t0)
 
@@ -77,14 +82,26 @@ def online_measurement(
     maxiter: int = 5000,
 ):
     """One online measurement (reference: correlators_measurement):
-    random timeslice Z2 source -> invert -> (C_PP [T], C_PA [T], t0)."""
+    random timeslice Z2 source -> invert -> (C_PP [T], C_PA [T], t0).
+
+    The whole source->invert->contract pipeline runs as ONE jitted program
+    (eager op chains are both slow and fragile on the remote-TPU path)."""
+    import functools
+
     if t0 is None:
         t0 = int(jax.random.randint(key, (), 0, lat.dims[0]))
-    src = z2_timeslice_source(lat, t0, jax.random.fold_in(key, 1), u.dtype)
-    res = invert_eo(u, src, params, lat, tol=tol, maxiter=maxiter)
-    norm = 1.0 / (lat.volume / lat.dims[0])
-    cpp = pion_correlator(res.x, lat, t0) * norm
-    cpa = pa_correlator(res.x, lat, t0) * norm
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def _run(u, key, t0_static):
+        src = z2_timeslice_source(lat, t0_static, jax.random.fold_in(key, 1), u.dtype)
+        res = invert_eo(u, src, params, lat, tol=tol, maxiter=maxiter)
+        norm = 1.0 / (lat.volume / lat.dims[0])
+        return (
+            pion_correlator(res.x, lat, t0_static) * norm,
+            pa_correlator(res.x, lat, t0_static) * norm,
+        )
+
+    cpp, cpa = _run(u, key, t0)
     return cpp, cpa, t0
 
 

@@ -52,3 +52,21 @@ def trace(log_dir: str = "/tmp/tmlqcd_tpu_trace"):
         yield log_dir
     finally:
         jax.profiler.stop_trace()
+
+
+def to_host(x):
+    """Device -> host numpy, safe for complex arrays.
+
+    The axon remote-TPU transport cannot transfer complex buffers
+    (UNIMPLEMENTED); complex arrays are staged as a stacked (re, im) float
+    pair on-device and recombined on the host.  Real arrays pass through.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating):
+        ri = jax.jit(lambda v: jnp.stack([jnp.real(v), jnp.imag(v)]))(x)
+        a = np.asarray(ri)
+        return np.ascontiguousarray(a[0] + 1j * a[1])
+    return np.asarray(x)
