@@ -201,3 +201,100 @@ def test_cloverdet_fast_solve_matches_reference():
         else:
             os.environ["TMLQCD_TPU_FAST_SOLVES"] = old
     assert abs(s_fast - s_ref) / abs(s_ref) < 1e-4, (s_fast, s_ref)
+
+
+def test_hopping_diff_vjp_vs_finite_difference():
+    """Custom-VJP hopping (force kernel): grads w.r.t. ug and psi match FD."""
+    from tmlqcd_tpu.lattice import EVEN
+
+    lat = Lattice((4, 4, 4, 4))
+    params = w.DiracParams(kappa=0.15, mu=0.01)
+    ph = w.boundary_phases(params, lat)
+    u = su3.random_su3(jax.random.key(0), (4,) + lat.site_shape, jnp.complex64)
+    ug = dp.gauge_copy(pack_gauge_eo(u, lat), lat, ph)
+    ug0 = dp.split_c(ug[0]).astype(jnp.float32)
+    ug1 = dp.split_c(ug[1]).astype(jnp.float32)
+    psi = dp.split_c(
+        rng.normal_spinor(jax.random.key(1), (4, 3) + lat.eo_site_shape, jnp.complex64)
+    ).astype(jnp.float32)
+    g = dp.split_c(
+        rng.normal_spinor(jax.random.key(2), (4, 3) + lat.eo_site_shape, jnp.complex64)
+    ).astype(jnp.float32)
+
+    def s_fn(ug_p, psi_q):
+        return jnp.sum(g * dp.hopping_diff(ug_p, ug1, psi_q, EVEN, lat, True))
+
+    dug, dpsi = jax.grad(s_fn, argnums=(0, 1))(ug0, psi)
+    import numpy as np
+
+    r = np.random.default_rng(3)
+    for arrs, grads, argn in ((ug0, dug, 0), (psi, dpsi, 1)):
+        for _ in range(3):
+            idx = tuple(r.integers(0, s) for s in arrs.shape)
+            eps = 1e-2
+            args = [ug0, psi]
+            up = args[argn].at[idx].add(eps)
+            dn = args[argn].at[idx].add(-eps)
+            fd = (
+                float(s_fn(*(up if i == argn else a for i, a in enumerate(args))))
+                - float(s_fn(*(dn if i == argn else a for i, a in enumerate(args))))
+            ) / (2 * eps)
+            an = float(grads[idx])
+            assert abs(fd - an) / max(abs(fd), 1e-6) < 3e-2, (argn, idx, fd, an)
+
+
+def test_det_force_fast_matches_jnp():
+    """DetMonomial force on the kernel-VJP path == jnp-AD path."""
+    import os
+
+    from tmlqcd_tpu.hmc import DetMonomial
+
+    lat = Lattice((4, 4, 4, 4))
+    mono = DetMonomial(
+        lat=lat, params=w.DiracParams(kappa=0.14, mu=0.03),
+        acc_tol=1e-9, force_tol=1e-9, maxiter=1500,
+    )
+    u = su3.random_su3(jax.random.key(20), (4,) + lat.site_shape, jnp.complex64)
+    old = os.environ.get("TMLQCD_TPU_FAST_SOLVES")
+    try:
+        os.environ["TMLQCD_TPU_FAST_SOLVES"] = "0"
+        phi, _ = mono.heatbath(u, jax.random.key(21))
+        f_ref = mono.force(u, phi)
+        os.environ["TMLQCD_TPU_FAST_SOLVES"] = "1"
+        f_fast = mono.force(u, phi)
+    finally:
+        if old is None:
+            os.environ.pop("TMLQCD_TPU_FAST_SOLVES", None)
+        else:
+            os.environ["TMLQCD_TPU_FAST_SOLVES"] = old
+    rel = float(jnp.linalg.norm(f_fast - f_ref) / jnp.linalg.norm(f_ref))
+    assert rel < 1e-4, rel
+
+
+def test_detratio_force_fast_matches_jnp():
+    import os
+
+    from tmlqcd_tpu.hmc import DetRatioMonomial
+
+    lat = Lattice((4, 4, 4, 4))
+    mono = DetRatioMonomial(
+        lat=lat,
+        params1=w.DiracParams(kappa=0.14, mu=0.01),
+        params2=w.DiracParams(kappa=0.14, mu=0.08),
+        acc_tol=1e-9, force_tol=1e-9, maxiter=1500,
+    )
+    u = su3.random_su3(jax.random.key(22), (4,) + lat.site_shape, jnp.complex64)
+    old = os.environ.get("TMLQCD_TPU_FAST_SOLVES")
+    try:
+        os.environ["TMLQCD_TPU_FAST_SOLVES"] = "0"
+        phi, _ = mono.heatbath(u, jax.random.key(23))
+        f_ref = mono.force(u, phi)
+        os.environ["TMLQCD_TPU_FAST_SOLVES"] = "1"
+        f_fast = mono.force(u, phi)
+    finally:
+        if old is None:
+            os.environ.pop("TMLQCD_TPU_FAST_SOLVES", None)
+        else:
+            os.environ["TMLQCD_TPU_FAST_SOLVES"] = old
+    rel = float(jnp.linalg.norm(f_fast - f_ref) / jnp.linalg.norm(f_ref))
+    assert rel < 1e-4, rel

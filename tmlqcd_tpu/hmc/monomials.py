@@ -152,6 +152,26 @@ class DetMonomial:
         return dot_re_f64(phi, res.x), res.iterations
 
     def force(self, u, phi):
+        if _use_fast_solves():
+            # solve AND surrogate gradient on the Pallas kernels: the
+            # hopping's custom VJP (deriv_Sb analog) carries the backward
+            # pass; only gauge_copy's chain rule stays on jnp
+            from tmlqcd_tpu.ops import wilson_fast as wf
+
+            fg = wf.make_fast_gauge(u, self.params, self.lat)
+            mv = lambda x2: wf.q_hat_pm_fast(fg, x2, self.params, self.lat)
+            x2 = cg(mv, wf.to_split(phi), tol=self.force_tol, maxiter=self.maxiter).x
+            y2 = wf.q_hat_fast(fg, x2, self.params, self.lat, +1.0)
+            x2 = jax.lax.stop_gradient(x2)
+            y2 = jax.lax.stop_gradient(y2)
+
+            def surrogate(uu):
+                ug_e, ug_o = wf.split_gauge_pair(uu, self.params, self.lat)
+                qx = wf.q_hat_diff(ug_e, ug_o, x2, self.params, self.lat, +1.0)
+                return -2.0 * wf.dot_re_f64_split(y2, qx)
+
+            g = jax.grad(surrogate)(u)
+            return ta_force_from_grad(u, g)
         x = self._solve(u, phi, self.force_tol).x
         y = _qhat_plus_full(u, x, self.params, self.lat, +1.0)
         x = jax.lax.stop_gradient(x)
@@ -209,6 +229,26 @@ class DetRatioMonomial:
         return dot_re_f64(psi, res.x), res.iterations
 
     def force(self, u, phi):
+        if _use_fast_solves():
+            from tmlqcd_tpu.ops import wilson_fast as wf
+
+            fg = wf.make_fast_gauge(u, self.params1, self.lat)
+            psi2 = wf.q_hat_fast(fg, wf.to_split(phi), self.params2, self.lat, +1.0)
+            mv1 = lambda x2: wf.q_hat_pm_fast(fg, x2, self.params1, self.lat)
+            x2 = cg(mv1, psi2, tol=self.force_tol, maxiter=self.maxiter).x
+            y2 = wf.q_hat_fast(fg, x2, self.params1, self.lat, +1.0)
+            phi2 = jax.lax.stop_gradient(wf.to_split(phi))
+            x2 = jax.lax.stop_gradient(x2)
+            y2 = jax.lax.stop_gradient(y2)
+
+            def surrogate(uu):
+                ug_e, ug_o = wf.split_gauge_pair(uu, self.params1, self.lat)
+                t2 = wf.q_hat_diff(ug_e, ug_o, phi2, self.params2, self.lat, +1.0)
+                t1 = wf.q_hat_diff(ug_e, ug_o, x2, self.params1, self.lat, +1.0)
+                return 2.0 * wf.dot_re_f64_split(x2, t2) - 2.0 * wf.dot_re_f64_split(y2, t1)
+
+            g = jax.grad(surrogate)(u)
+            return ta_force_from_grad(u, g)
         psi = self._psi(u, phi)
         x = _solve_qpm(u, psi, self.params1, self.lat, self.force_tol, self.maxiter).x
         y = _qhat_plus_full(u, x, self.params1, self.lat, +1.0)

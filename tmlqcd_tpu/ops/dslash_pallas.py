@@ -519,3 +519,164 @@ def hopping_pallas_tshard(
         # pallas_call out_shapes carry no varying-mesh-axes annotation
         check_vma=False,
     )(ug_p, psi_q)
+
+
+# ---------------------------------------------------------------------------
+# Force kernel + differentiable hopping (reference: deriv_Sb.c — the fermion
+# force outer product, "structurally the dslash adjoint", survey §2.7)
+# ---------------------------------------------------------------------------
+
+
+def _ug_vjp_kernel(p: int, lat: Lattice, mt: int, nmb: int,
+                   g_ref, psi_c_ref, psi_tp_ref, psi_tn_ref, psi_ml_ref,
+                   psi_mr_ref, out_ref):
+    """d(Re<g, H psi>)/d(ug[p]) for one (t, m) tile: per direction the
+    deriv_Sb outer product F[i,j] = sum_a ghat[a,i] conj(h[a,j]) with
+    ghat = W^+ g (projection of the cotangent) and h = W^+ psi_neighbor
+    (the same projected halfspinor as the forward kernel)."""
+    t_idx = pl.program_id(0)
+    m_idx = pl.program_id(1)
+    m0 = m_idx * mt
+
+    g = g_ref[:, :, :, 0]
+    cur = psi_c_ref[:, :, :, 0]
+    tprev = psi_tp_ref[:, :, :, 0]
+    tnext = psi_tn_ref[:, :, :, 0]
+    halo_l = psi_ml_ref[:, :, :, 0]
+    halo_r = psi_mr_ref[:, :, :, 0]
+    cat = jnp.concatenate([halo_l, cur, halo_r], axis=-1)
+
+    for d in range(8):
+        mu, fb = d // 2, d % 2
+        w = _W[mu][fb]
+        nbr = _neighbor(cat, d, lat, p, t_idx, m0, mt, cur, tprev, tnext)
+        # projections (adds only): ghat[a][i], h[a][j]
+        gh_re = [[None] * 3 for _ in range(2)]
+        gh_im = [[None] * 3 for _ in range(2)]
+        h_re = [[None] * 3 for _ in range(2)]
+        h_im = [[None] * 3 for _ in range(2)]
+        for a in range(2):
+            coeffs = [np.conj(w[s, a]) for s in range(4)]
+            for c in range(3):
+                gh_re[a][c], gh_im[a][c] = _wsum(
+                    coeffs, [g[0, s, c] for s in range(4)], [g[1, s, c] for s in range(4)]
+                )
+                h_re[a][c], h_im[a][c] = _wsum(
+                    coeffs, [nbr[0, s, c] for s in range(4)], [nbr[1, s, c] for s in range(4)]
+                )
+        # F[i,j] = sum_a ghat[a,i] * conj(h[a,j]) -> (Re F, Im F)
+        for i in range(3):
+            for j in range(3):
+                fr = None
+                fi = None
+                for a in range(2):
+                    tr = gh_re[a][i] * h_re[a][j] + gh_im[a][i] * h_im[a][j]
+                    ti = gh_im[a][i] * h_re[a][j] - gh_re[a][i] * h_im[a][j]
+                    fr = tr if fr is None else fr + tr
+                    fi = ti if fi is None else fi + ti
+                out_ref[0, d, i, j, 0] = fr
+                out_ref[1, d, i, j, 0] = fi
+
+
+@functools.lru_cache(maxsize=32)
+def _build_ug_vjp(p: int, lat: Lattice, mt: int, hw: int, interpret: bool):
+    t_ext, x_ext = lat.dims[0], lat.dims[1]
+    m = lat.m
+    nmb = m // mt
+    r = mt // hw
+    nh = nmb * r
+
+    psi_block = (2, 4, 3, 1, x_ext, mt)
+    halo_block = (2, 4, 3, 1, x_ext, hw)
+    ug_block = (2, 8, 3, 3, 1, x_ext, mt)
+
+    def _mod(a, n: int):
+        return jax.lax.rem(a, jnp.int32(n))
+
+    specs = [
+        pl.BlockSpec(psi_block, lambda t, j: (t - t, t - t, t - t, t, t - t, j)),
+        pl.BlockSpec(psi_block, lambda t, j: (t - t, t - t, t - t, t, t - t, j)),
+        pl.BlockSpec(
+            psi_block,
+            lambda t, j: (t - t, t - t, t - t, _mod(t + (t_ext - 1), t_ext), t - t, j),
+        ),
+        pl.BlockSpec(
+            psi_block, lambda t, j: (t - t, t - t, t - t, _mod(t + 1, t_ext), t - t, j)
+        ),
+        pl.BlockSpec(
+            halo_block,
+            lambda t, j: (t - t, t - t, t - t, t, t - t, _mod(j * r + (nh - 1), nh)),
+        ),
+        pl.BlockSpec(
+            halo_block,
+            lambda t, j: (t - t, t - t, t - t, t, t - t, _mod((j + 1) * r, nh)),
+        ),
+    ]
+    out_spec = pl.BlockSpec(
+        ug_block, lambda t, j: (t - t, t - t, t - t, t - t, t, t - t, j)
+    )
+    kernel = functools.partial(_ug_vjp_kernel, p, lat, mt, nmb)
+    return pl.pallas_call(
+        kernel,
+        grid=(t_ext, nmb),
+        in_specs=specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((2, 8, 3, 3, t_ext, x_ext, m), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def _tiles_for(lat: Lattice):
+    import os
+
+    budget = int(os.environ.get("TMLQCD_TPU_VMEM_MB", "14")) * 2**20
+    mt, hw = _pick_tiles(lat, vmem_budget=budget)
+    if mt == lat.m and (lat.m % 128 != 0 or lat.m < 256):
+        hw = lat.m
+    return mt, hw
+
+
+def hopping_ug_vjp(
+    g2: jax.Array, psi_q: jax.Array, p: int, lat: Lattice, interpret: bool = False
+) -> jax.Array:
+    """dug[p] of Re<g, H_{p,q}(ug) psi> at fixed (g, psi) — the deriv_Sb
+    outer-product kernel. Returns split f32 [2, 8, 3, 3, T, X, M]."""
+    mt, hw = _tiles_for(lat)
+    call = _build_ug_vjp(p, lat, int(mt), int(hw), interpret)
+    return call(g2, psi_q, psi_q, psi_q, psi_q, psi_q)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def hopping_diff(ug_p, ug_q, psi_q, p: int, lat: Lattice, interpret: bool = False):
+    """Differentiable Pallas hopping: forward = H_{p,q}(ug_p) psi; backward
+    gives d/d(ug_p) via the outer-product kernel and d/dpsi via the adjoint
+    identity H^+ = g5 H_{q,p} g5 (verified numerically) using ug_q.
+    All arrays split f32.  (ug_q receives a zero cotangent — it only
+    parameterizes the adjoint application.)"""
+    return hopping_pallas_split(ug_p, psi_q, p, lat, interpret=interpret)
+
+
+def _hopping_diff_fwd(ug_p, ug_q, psi_q, p, lat, interpret):
+    out = hopping_pallas_split(ug_p, psi_q, p, lat, interpret=interpret)
+    return out, (ug_q, psi_q)
+
+
+def _g5_split(x2):
+    sign = jnp.asarray([1.0, 1.0, -1.0, -1.0], x2.dtype).reshape(
+        (1, 4) + (1,) * (x2.ndim - 2)
+    )
+    return x2 * sign
+
+
+def _hopping_diff_bwd(p, lat, interpret, res, g2):
+    ug_q, psi_q = res
+    q = 1 - p
+    dug = hopping_ug_vjp(g2, psi_q, p, lat, interpret=interpret)
+    # dpsi = H^+ g = g5 H_{q,p} g5 g
+    dpsi = _g5_split(
+        hopping_pallas_split(ug_q, _g5_split(g2), q, lat, interpret=interpret)
+    )
+    return dug, jnp.zeros_like(ug_q), dpsi
+
+
+hopping_diff.defvjp(_hopping_diff_fwd, _hopping_diff_bwd)

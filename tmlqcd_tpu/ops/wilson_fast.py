@@ -274,3 +274,45 @@ def q_hat_pm_clover_fast(
     """Qsw_pm on split fields (reference: Qsw_pm_psi)."""
     tmp = q_hat_clover_fast(fc, psi2_o, params, lat, +1.0)
     return q_hat_clover_fast(fc, tmp, params, lat, -1.0)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fast operator for MD forces (reference: deriv_Sb.c — here
+# the hopping's custom VJP (dslash_pallas.hopping_diff) makes the whole
+# force surrogate run on Pallas kernels, forward and backward)
+# ---------------------------------------------------------------------------
+
+
+def split_gauge_pair(u: jax.Array, params: DiracParams, lat: Lattice):
+    """Differentiable (ug_e, ug_o) split-f32 gauge copies as a function of
+    the full complex gauge field (jax.grad flows through gauge_copy)."""
+    ph = boundary_phases(params, lat)
+    ueo = pack_gauge_eo(u, lat)
+    ug = dp.gauge_copy(ueo, lat, ph)
+    return (
+        dp.split_c(ug[EVEN]).astype(jnp.float32),
+        dp.split_c(ug[ODD]).astype(jnp.float32),
+    )
+
+
+def q_hat_diff(
+    ug_e: jax.Array,
+    ug_o: jax.Array,
+    psi2_o: jax.Array,
+    params: DiracParams,
+    lat: Lattice,
+    sign: float = +1.0,
+) -> jax.Array:
+    """Qhat(+-) on split fields with kernel-VJP hoppings — differentiable
+    w.r.t. (ug_e, ug_o) AND psi (for force surrogates)."""
+    interp = _interpret()
+    k2 = jnp.float32(params.kappa * params.kappa)
+    tmp = dp.hopping_diff(ug_e, ug_o, psi2_o, EVEN, lat, interp)
+    tmp = _mee_inv_split(tmp, params.mutld, sign)
+    tmp = dp.hopping_diff(ug_o, ug_e, tmp, ODD, lat, interp)
+    return _gamma5(_mee_split(psi2_o, params.mutld, sign) - k2 * tmp)
+
+
+def dot_re_f64_split(a2: jax.Array, b2: jax.Array) -> jax.Array:
+    """Re<a, b> of split arrays = plain f64-accumulated real dot."""
+    return jnp.sum(a2.astype(jnp.float64) * b2.astype(jnp.float64))
