@@ -298,3 +298,32 @@ def test_detratio_force_fast_matches_jnp():
             os.environ["TMLQCD_TPU_FAST_SOLVES"] = old
     rel = float(jnp.linalg.norm(f_fast - f_ref) / jnp.linalg.norm(f_ref))
     assert rel < 1e-4, rel
+
+
+def test_ndrat_force_fast_matches_jnp():
+    """NDRAT force on the kernel-VJP path == jnp-AD path."""
+    import os
+
+    from tmlqcd_tpu.hmc.rational_monomials import NDRatMonomial
+    from tmlqcd_tpu.ops import ndoublet as nd
+
+    lat = Lattice((4, 4, 4, 4))
+    mono = NDRatMonomial(
+        lat=lat, params=nd.NDParams(kappa=0.15, mubar=0.12, epsbar=0.05),
+        order=6, s_min=5e-3, s_max=6.0, acc_tol=1e-9, force_tol=1e-9, maxiter=1500,
+    )
+    u = su3.random_su3(jax.random.key(30), (4,) + lat.site_shape, jnp.complex64)
+    old = os.environ.get("TMLQCD_TPU_FAST_SOLVES")
+    try:
+        os.environ["TMLQCD_TPU_FAST_SOLVES"] = "0"
+        phi, _ = mono.heatbath(u, jax.random.key(31))
+        f_ref = mono.force(u, phi)
+        os.environ["TMLQCD_TPU_FAST_SOLVES"] = "1"
+        f_fast = mono.force(u, phi)
+    finally:
+        if old is None:
+            os.environ.pop("TMLQCD_TPU_FAST_SOLVES", None)
+        else:
+            os.environ["TMLQCD_TPU_FAST_SOLVES"] = old
+    rel = float(jnp.linalg.norm(f_fast - f_ref) / jnp.linalg.norm(f_ref))
+    assert rel < 2e-4, rel

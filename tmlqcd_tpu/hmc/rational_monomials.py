@@ -141,7 +141,40 @@ class NDRatMonomial:
         return s, iters
 
     def force(self, u, phi):
+        from tmlqcd_tpu.hmc.monomials import _use_fast_solves
+
         rat = self.rat
+        if self.params.c_sw == 0.0 and _use_fast_solves():
+            # multishift solve AND the per-pole surrogate gradients on the
+            # Pallas kernels (hopping custom VJP); xs/ys stay split-f32
+            from tmlqcd_tpu.ops import wilson_fast as wf
+
+            fg = wf.make_fast_gauge(u, self.params.wilson, self.lat)
+            mv = lambda c2: wf.q_nd_sq_fast(fg, c2, self.params, self.lat)
+            res = cg_multishift(
+                mv, wf.to_split(phi), jnp.asarray(rat.sigma),
+                tol=self.force_tol, maxiter=self.maxiter,
+            )
+            xs2 = jax.lax.stop_gradient(res.x)
+            ys2 = jax.lax.stop_gradient(
+                jnp.stack(
+                    [wf.q_nd_fast(fg, xs2[j], self.params, self.lat)
+                     for j in range(rat.order)]
+                )
+            )
+
+            def surrogate(uu):
+                ug_e, ug_o = wf.split_gauge_pair(uu, self.params.wilson, self.lat)
+                s = jnp.asarray(0.0, jnp.float64)
+                for j in range(rat.order):
+                    qx = wf.q_nd_diff(ug_e, ug_o, xs2[j], self.params, self.lat)
+                    s = s - 2.0 * jnp.asarray(rat.rho[j], jnp.float64) * (
+                        wf.dot_re_f64_split(ys2[j], qx)
+                    )
+                return s
+
+            g = jax.grad(surrogate)(u)
+            return ta_force_from_grad(u, g)
         xs = self._mms(u, phi, rat.sigma, self.force_tol)
         ys = jnp.stack([self._q(u, xs[j]) for j in range(rat.order)])
         xs = jax.lax.stop_gradient(xs)

@@ -316,3 +316,32 @@ def q_hat_diff(
 def dot_re_f64_split(a2: jax.Array, b2: jax.Array) -> jax.Array:
     """Re<a, b> of split arrays = plain f64-accumulated real dot."""
     return jnp.sum(a2.astype(jnp.float64) * b2.astype(jnp.float64))
+
+
+def q_nd_diff(
+    ug_e: jax.Array,
+    ug_o: jax.Array,
+    chi2: jax.Array,
+    params,
+    lat: Lattice,
+) -> jax.Array:
+    """Q_nd on split doublets with kernel-VJP hoppings — differentiable
+    w.r.t. (ug_e, ug_o) for the NDRAT force surrogate."""
+    interp = _interpret()
+    k2 = jnp.float32(params.kappa * params.kappa)
+
+    def hop_diff(c2, p):
+        ug_p, ug_q = (ug_e, ug_o) if p == EVEN else (ug_o, ug_e)
+        return jnp.stack(
+            [
+                dp.hopping_diff(ug_p, ug_q, c2[:, 0], p, lat, interp),
+                dp.hopping_diff(ug_p, ug_q, c2[:, 1], p, lat, interp),
+            ],
+            axis=1,
+        )
+
+    tmp = hop_diff(chi2, EVEN)
+    tmp = _mee_inv_nd_split(tmp, params.mubar_t, params.epsbar_t, +1.0)
+    tmp = hop_diff(tmp, ODD)
+    m = _mee_nd_split(chi2, params.mubar_t, params.epsbar_t, +1.0) - k2 * tmp
+    return _gamma5_nd(_tau1_split(m))
