@@ -327,3 +327,32 @@ def test_ndrat_force_fast_matches_jnp():
             os.environ["TMLQCD_TPU_FAST_SOLVES"] = old
     rel = float(jnp.linalg.norm(f_fast - f_ref) / jnp.linalg.norm(f_ref))
     assert rel < 2e-4, rel
+
+
+def test_cloverdet_force_fast_matches_jnp():
+    """CloverDet force: kernel-VJP hoppings + jnp clover-block AD == full
+    jnp-AD force."""
+    import os
+
+    from tmlqcd_tpu.hmc import CloverDetMonomial
+
+    lat = Lattice((4, 4, 4, 4))
+    mono = CloverDetMonomial(
+        lat=lat, params=w.DiracParams(kappa=0.14, mu=0.02, c_sw=1.3),
+        acc_tol=1e-9, force_tol=1e-9, maxiter=1500,
+    )
+    u = su3.random_su3(jax.random.key(40), (4,) + lat.site_shape, jnp.complex64)
+    old = os.environ.get("TMLQCD_TPU_FAST_SOLVES")
+    try:
+        os.environ["TMLQCD_TPU_FAST_SOLVES"] = "0"
+        phi, _ = mono.heatbath(u, jax.random.key(41))
+        f_ref = mono.force(u, phi)
+        os.environ["TMLQCD_TPU_FAST_SOLVES"] = "1"
+        f_fast = mono.force(u, phi)
+    finally:
+        if old is None:
+            os.environ.pop("TMLQCD_TPU_FAST_SOLVES", None)
+        else:
+            os.environ["TMLQCD_TPU_FAST_SOLVES"] = old
+    rel = float(jnp.linalg.norm(f_fast - f_ref) / jnp.linalg.norm(f_ref))
+    assert rel < 2e-4, rel

@@ -338,6 +338,30 @@ class CloverDetMonomial:
         return dot_re_f64(phi, res.x), res.iterations
 
     def force(self, u, phi):
+        if _use_fast_solves():
+            # solve + the hopping part of the surrogate gradient on the
+            # Pallas kernels; the clover-term force (sw_deriv analog) flows
+            # through jnp AD of the block construction
+            from tmlqcd_tpu.ops import wilson_fast as wf
+
+            fc = wf.make_fast_clover(u, self.params, self.lat)
+            mv = lambda x2: wf.q_hat_pm_clover_fast(fc, x2, self.params, self.lat)
+            x2 = cg(mv, wf.to_split(phi), tol=self.force_tol, maxiter=self.maxiter).x
+            y2 = wf.q_hat_clover_fast(fc, x2, self.params, self.lat, +1.0)
+            x2 = jax.lax.stop_gradient(x2)
+            y2 = jax.lax.stop_gradient(y2)
+
+            def surrogate(uu):
+                ug_e, ug_o, moo, mee_inv = wf.split_clover_pair(
+                    uu, self.params, self.lat, +1.0
+                )
+                qx = wf.q_hat_clover_diff(
+                    ug_e, ug_o, moo, mee_inv, x2, self.params, self.lat
+                )
+                return -2.0 * wf.dot_re_f64_split(y2, qx)
+
+            g = jax.grad(surrogate)(u)
+            return ta_force_from_grad(u, g)
         _, qplus = _clover_ops(u, self.params, self.lat)
         x = _solve_qsw(u, phi, self.params, self.lat, self.force_tol, self.maxiter).x
         y = qplus(x, +1.0)

@@ -345,3 +345,40 @@ def q_nd_diff(
     tmp = hop_diff(tmp, ODD)
     m = _mee_nd_split(chi2, params.mubar_t, params.epsbar_t, +1.0) - k2 * tmp
     return _gamma5_nd(_tau1_split(m))
+
+
+def q_hat_clover_diff(
+    ug_e: jax.Array,
+    ug_o: jax.Array,
+    moo_blk2: jax.Array,
+    mee_inv_blk2: jax.Array,
+    psi2_o: jax.Array,
+    params: DiracParams,
+    lat: Lattice,
+) -> jax.Array:
+    """Qsw(+) on split fields, differentiable w.r.t. (ug_e, ug_o,
+    moo_blk2, mee_inv_blk2) — hoppings carry the kernel VJP; the clover
+    blocks enter as differentiable inputs so the clover-term force comes
+    from jnp AD through sw_blocks/mee_blocks (reference: sw_deriv/sw_all)."""
+    interp = _interpret()
+    k2 = jnp.float32(params.kappa * params.kappa)
+    tmp = dp.hopping_diff(ug_e, ug_o, psi2_o, EVEN, lat, interp)
+    tmp = _blocks_apply_split(mee_inv_blk2, tmp)
+    tmp = dp.hopping_diff(ug_o, ug_e, tmp, ODD, lat, interp)
+    return _gamma5(_blocks_apply_split(moo_blk2, psi2_o) - k2 * tmp)
+
+
+def split_clover_pair(u: jax.Array, params: DiracParams, lat: Lattice, sign: float = +1.0):
+    """Differentiable (ug_e, ug_o, moo_blocks, mee_inv_blocks) split tensors
+    as functions of the full gauge field (for clover force surrogates)."""
+    from tmlqcd_tpu.ops import clover as cl
+
+    ug_e, ug_o = split_gauge_pair(u, params, lat)
+    sw_e, sw_o = cl.sw_blocks_eo(u, params.kappa, params.c_sw, lat)
+    sp = lambda x: dp.split_c(x).astype(jnp.float32)
+    return (
+        ug_e,
+        ug_o,
+        sp(cl.mee_blocks(sw_o, params.mutld, sign)),
+        sp(cl.mee_inv_blocks(sw_e, params.mutld, sign)),
+    )
