@@ -26,7 +26,10 @@ from tmlqcd_tpu.hmc import (
     HMCConfig,
     IntegratorConfig,
     Level,
+    NDRatCorMonomial,
     NDRatMonomial,
+    RatCorMonomial,
+    RatMonomial,
 )
 from tmlqcd_tpu.lattice import Lattice
 from tmlqcd_tpu.ops.ndoublet import NDParams
@@ -54,7 +57,8 @@ GAUGE_ACTIONS = {
 class MonomialSpec:
     """One BeginMonomial block (reference: monomial/monomial.h fields)."""
 
-    type: str  # GAUGE | DET | DETRATIO | CLOVERDET | CLOVERTRLOG | NDRAT
+    type: str  # GAUGE | DET | DETRATIO | CLOVERDET(RATIO) | CLOVERTRLOG |
+    # NDPOLY | ND(CLOVER)RAT(COR) | (CLOVER)RAT(COR)
     timescale: int = 0
     kappa: float = 0.0
     two_kappa_mu: float = 0.0  # 2KappaMu
@@ -228,8 +232,9 @@ def build_monomial(spec: MonomialSpec, lat: Lattice, beta: float, c1: float):
             maxiter=spec.max_solver_iterations,
             name=spec.name or "ndpoly",
         )
-    if ty == "NDRAT":
-        return NDRatMonomial(
+    if ty in ("NDRAT", "NDCLOVERRAT", "NDRATCOR", "NDCLOVERRATCOR"):
+        cls = NDRatCorMonomial if ty.endswith("COR") else NDRatMonomial
+        return cls(
             lat=lat,
             params=NDParams(
                 kappa=spec.kappa,
@@ -240,7 +245,18 @@ def build_monomial(spec: MonomialSpec, lat: Lattice, beta: float, c1: float):
             order=spec.rat_order,
             s_min=spec.stilde_min,
             s_max=spec.stilde_max,
-            name=spec.name or "ndrat",
+            name=spec.name or ty.lower(),
+            **common,
+        )
+    if ty in ("RAT", "CLOVERRAT", "RATCOR", "CLOVERRATCOR"):
+        cls = RatCorMonomial if ty.endswith("COR") else RatMonomial
+        return cls(
+            lat=lat,
+            params=DiracParams(kappa=spec.kappa, mu=0.0, c_sw=spec.csw),
+            order=spec.rat_order,
+            s_min=spec.stilde_min,
+            s_max=spec.stilde_max,
+            name=spec.name or ty.lower(),
             **common,
         )
     raise ValueError(f"unknown monomial type {spec.type!r}")

@@ -9,7 +9,12 @@ from tmlqcd_tpu.hmc.monomials import (  # noqa: F401
     DetRatioMonomial,
     GaugeMonomial,
 )
-from tmlqcd_tpu.hmc.rational_monomials import NDRatMonomial  # noqa: F401
+from tmlqcd_tpu.hmc.rational_monomials import (  # noqa: F401
+    NDRatCorMonomial,
+    NDRatMonomial,
+    RatCorMonomial,
+    RatMonomial,
+)
 from tmlqcd_tpu.hmc.poly_monomials import NDPolyMonomial  # noqa: F401
 from tmlqcd_tpu.hmc.integrators import IntegratorConfig, Level  # noqa: F401
 from tmlqcd_tpu.hmc.trajectory import HMCConfig, TrajectoryStats, hmc_trajectory, reversibility_check  # noqa: F401

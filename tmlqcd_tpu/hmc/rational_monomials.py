@@ -40,7 +40,12 @@ from tmlqcd_tpu.ops.wilson import boundary_phases
 from tmlqcd_tpu.solvers.multishift import cg_multishift
 from tmlqcd_tpu.solvers.rational import RationalApprox, rational_invsqrt
 
-__all__ = ["NDRatMonomial"]
+__all__ = [
+    "NDRatMonomial",
+    "RatMonomial",
+    "RatCorMonomial",
+    "NDRatCorMonomial",
+]
 
 
 def _nd_spinor_shape(lat: Lattice) -> tuple:
@@ -190,6 +195,285 @@ class NDRatMonomial:
 
         g = jax.grad(surrogate)(u)
         return ta_force_from_grad(u, g)
+
+
+@dataclasses.dataclass(frozen=True)
+class RatMonomial:
+    """One-flavor degenerate rational monomial — det weight
+    det(Qhat_pm)^{1/2} = |det Qhat| of a single Wilson(-clover) flavor
+    (reference: monomial/rat_monomial.c, types RAT / CLOVERRAT).
+
+    Same rational scheme as NDRatMonomial but on single-flavor odd spinors
+    with A = Qhat_pm = Qhat_- Qhat_+.  The exact first-order heatbath
+    factorization needs a hermitian Q with Q^2 = A, which holds iff mu == 0
+    (Q = gamma5 Mhat); the construction therefore requires params.mu == 0 —
+    the production use case (1-flavor strange/charm in clover-improved
+    runs).  A twisted one-flavor determinant is covered by NDRatMonomial
+    with epsbar = 0 instead.
+    """
+
+    lat: Lattice
+    params: object  # w.DiracParams (mu must be 0, see class docstring)
+    order: int = 12
+    s_min: float = 1e-4
+    s_max: float = 4.0
+    timescale: int = 1
+    acc_tol: float = 1e-9
+    force_tol: float = 1e-8
+    maxiter: int = 2000
+    name: str = "rat"
+
+    def __post_init__(self):
+        if getattr(self.params, "mu", 0.0) != 0.0:
+            raise ValueError(
+                "RatMonomial requires mu == 0 (hermitian Q = gamma5 Mhat for "
+                "the exact heatbath); use NDRatMonomial with epsbar=0 for a "
+                "twisted one-flavor determinant"
+            )
+
+    @property
+    def rat(self) -> RationalApprox:
+        return rational_invsqrt(self.order, self.s_min, self.s_max)
+
+    def _q(self, u, x, sign: float = +1.0):
+        """Qhat(+-) x, differentiable in the full gauge field u."""
+        from tmlqcd_tpu.hmc.monomials import _qhat_plus_full
+
+        if self.params.c_sw != 0.0:
+            from tmlqcd_tpu.hmc.monomials import _clover_ops
+
+            _, qplus = _clover_ops(u, self.params, self.lat)
+            return qplus(x, sign)
+        return _qhat_plus_full(u, x, self.params, self.lat, sign)
+
+    def _mms_info(self, u, b, shifts: np.ndarray, tol: float):
+        from tmlqcd_tpu.hmc.monomials import _clover_ops, _use_fast_solves
+
+        if _use_fast_solves():
+            from tmlqcd_tpu.ops import dslash_pallas as dpl
+            from tmlqcd_tpu.ops import wilson_fast as wf
+
+            if self.params.c_sw != 0.0:
+                fc = wf.make_fast_clover(u, self.params, self.lat)
+                mv = lambda x2: wf.q_hat_pm_clover_fast(fc, x2, self.params, self.lat)
+            else:
+                fg = wf.make_fast_gauge(u, self.params, self.lat)
+                mv = lambda x2: wf.q_hat_pm_fast(fg, x2, self.params, self.lat)
+            res = cg_multishift(
+                mv, wf.to_split(b), jnp.asarray(shifts), tol=tol, maxiter=self.maxiter
+            )
+            xs = jax.vmap(lambda x2: dpl.merge_c(x2, b.dtype))(res.x)
+            return xs, res.iterations
+        if self.params.c_sw != 0.0:
+            mv, _ = _clover_ops(u, self.params, self.lat)
+        else:
+            from tmlqcd_tpu.hmc.monomials import _qhat_pm_full
+
+            mv = lambda x: _qhat_pm_full(u, x, self.params, self.lat)
+        res = cg_multishift(mv, b, jnp.asarray(shifts), tol=tol, maxiter=self.maxiter)
+        return res.x, res.iterations
+
+    def _mms(self, u, b, shifts: np.ndarray, tol: float):
+        return self._mms_info(u, b, shifts, tol)[0]
+
+    def heatbath(self, u, key):
+        """phi = B eta with B^+B = R^{-1}(Q^2) exactly (first-order factors
+        in the hermitian Q = gamma5 Mhat; reference: rat_monomial.c
+        rat_heatbath with rat.nu shifts)."""
+        from tmlqcd_tpu.hmc.monomials import eo_spinor_shape
+
+        rat = self.rat
+        alpha, gamma, beta_n, rho_lead = rat.heatbath_parts()
+        eta = rng.normal_spinor(key, eo_spinor_shape(self.lat), u.dtype)
+        xs = self._mms(u, eta, rat.a_roots, self.acc_tol)
+        cdt = eta.dtype
+        gsum = jnp.zeros_like(eta)
+        gasum = jnp.zeros_like(eta)
+        for el in range(rat.order - 1):
+            g = jnp.asarray(gamma[el], cdt)
+            ga = jnp.asarray(gamma[el] * (-1j) * alpha[el], cdt)
+            gsum = gsum + g * xs[el]
+            gasum = gasum + ga * xs[el]
+        v = eta + self._q(u, gsum) + gasum
+        ibeta = jnp.asarray(1j * beta_n, cdt)
+        phi = (self._q(u, v) + ibeta * v) * jnp.asarray(
+            1.0 / np.sqrt(rho_lead), v.real.dtype
+        )
+        return phi, norm_sq_f64(eta)
+
+    def action(self, u, phi):
+        return self.action_info(u, phi)[0]
+
+    def action_info(self, u, phi):
+        rat = self.rat
+        xs, iters = self._mms_info(u, phi, rat.sigma, self.acc_tol)
+        s = jnp.asarray(0.0, jnp.float64)
+        for j in range(rat.order):
+            s = s + jnp.asarray(rat.rho[j], jnp.float64) * dot_re_f64(phi, xs[j])
+        return s, iters
+
+    def force(self, u, phi):
+        """dS = -sum_j rho_j x_j^+ dA x_j = -sum_j rho_j 2Re<z_j, dQhat_+ x_j>
+        with z_j = Qhat_+ x_j (A = Qhat_- Qhat_+, Qhat_-^+ = Qhat_+)."""
+        from tmlqcd_tpu.hmc.monomials import _use_fast_solves
+
+        rat = self.rat
+        if self.params.c_sw == 0.0 and _use_fast_solves():
+            from tmlqcd_tpu.ops import wilson_fast as wf
+
+            fg = wf.make_fast_gauge(u, self.params, self.lat)
+            mv = lambda c2: wf.q_hat_pm_fast(fg, c2, self.params, self.lat)
+            res = cg_multishift(
+                mv, wf.to_split(phi), jnp.asarray(rat.sigma),
+                tol=self.force_tol, maxiter=self.maxiter,
+            )
+            xs2 = jax.lax.stop_gradient(res.x)
+            zs2 = jax.lax.stop_gradient(
+                jnp.stack(
+                    [wf.q_hat_fast(fg, xs2[j], self.params, self.lat, +1.0)
+                     for j in range(rat.order)]
+                )
+            )
+
+            def surrogate(uu):
+                ug_e, ug_o = wf.split_gauge_pair(uu, self.params, self.lat)
+                s = jnp.asarray(0.0, jnp.float64)
+                for j in range(rat.order):
+                    qx = wf.q_hat_diff(ug_e, ug_o, xs2[j], self.params, self.lat, +1.0)
+                    s = s - 2.0 * jnp.asarray(rat.rho[j], jnp.float64) * (
+                        wf.dot_re_f64_split(zs2[j], qx)
+                    )
+                return s
+
+            g = jax.grad(surrogate)(u)
+            return ta_force_from_grad(u, g)
+        xs = self._mms(u, phi, rat.sigma, self.force_tol)
+        zs = jnp.stack([self._q(u, xs[j], +1.0) for j in range(rat.order)])
+        xs = jax.lax.stop_gradient(xs)
+        zs = jax.lax.stop_gradient(zs)
+
+        def surrogate(uu):
+            s = jnp.asarray(0.0, jnp.float64)
+            for j in range(rat.order):
+                s = s - 2.0 * jnp.asarray(rat.rho[j], jnp.float64) * dot_re_f64(
+                    zs[j], self._q(uu, xs[j], +1.0)
+                )
+            return s
+
+        g = jax.grad(surrogate)(u)
+        return ta_force_from_grad(u, g)
+
+
+# ---------------------------------------------------------------------------
+# Accept/reject-coupled correction monomials (reference: ratcor_monomial.c /
+# ndratcor_monomial.c).  The RAT/NDRAT monomial samples det R^{-1}(Q^2); the
+# correction multiplies in the missing factor
+#
+#     det[(Q^2)^{1/2} R(Q^2)] = det(Z)^{1/2},   Z = Q^2 R(Q^2)^2 ~ 1,
+#
+# via a pseudofermion S_cor = phi^+ Z^{-1/2} phi (heatbath phi = Z^{1/4} eta,
+# so S_0 = |eta|^2 exactly).  Z^{+1/4} and Z^{-1/2} are applied with the
+# binomial series (1+u)^p = sum_k C(p,k) u^k in u = Z - 1, ||u|| <= delta
+# (the rational's relative error) — a handful of terms reaches machine
+# precision, matching the reference's apply-until-precision Taylor loop.
+# Each Z application costs two multishift solves + one Q^2.
+#
+# The correction acts through the Hamiltonian (heatbath + acceptance) only;
+# its MD force is zero — exactness is restored by the Metropolis step, and
+# the induced dH is O(delta * dS) (reference: *cor monomials register no
+# derivative function).  This is the standard way to run a CHEAP low-order
+# rational on the MD timescales and stay exact.
+# ---------------------------------------------------------------------------
+
+
+def _binom_coeffs(p: float, n: int) -> np.ndarray:
+    """C(p, k), k = 0..n, for the (1+u)^p series (host f64)."""
+    c = np.ones(n + 1)
+    for k in range(1, n + 1):
+        c[k] = c[k - 1] * (p - (k - 1)) / k
+    return c
+
+
+def _apply_z(mono, u, v, tol):
+    """Z v = Q^2 R(Q^2)^2 v (two multishifts + one Q^2 apply)."""
+    rat = mono.rat
+
+    def r_apply(w_):
+        xs = mono._mms(u, w_, rat.sigma, tol)
+        out = jnp.zeros_like(w_)
+        for j in range(rat.order):
+            out = out + jnp.asarray(rat.rho[j], w_.real.dtype) * xs[j]
+        return out
+
+    rr = r_apply(r_apply(v))
+    return mono._q(u, mono._q(u, rr))
+
+
+def _apply_z_pow(mono, u, v, p: float, n_terms: int, tol):
+    """(Z)^p v by the binomial series in (Z - 1)."""
+    coeffs = _binom_coeffs(p, n_terms)
+    acc = v
+    term = v
+    for k in range(1, n_terms + 1):
+        term = _apply_z(mono, u, term, tol) - term
+        acc = acc + jnp.asarray(coeffs[k], v.real.dtype) * term
+    return acc
+
+
+class _RatCorMixin:
+    """heatbath/action/force overrides shared by the degenerate and
+    non-degenerate correction monomials (the base class supplies _q, _mms,
+    rat and the spinor shape via its own heatbath machinery)."""
+
+    def _eta_shape(self):
+        raise NotImplementedError
+
+    def heatbath(self, u, key):
+        eta = rng.normal_spinor(key, self._eta_shape(), u.dtype)
+        phi = _apply_z_pow(self, u, eta, +0.25, self.n_terms, self.acc_tol)
+        return phi, norm_sq_f64(eta)
+
+    def action(self, u, phi):
+        return self.action_info(u, phi)[0]
+
+    def action_info(self, u, phi):
+        w_ = _apply_z_pow(self, u, phi, -0.5, self.n_terms, self.acc_tol)
+        # iterations: one representative multishift (the acceptance logs of
+        # the reference report the solver iterations of the last solve)
+        _, iters = self._mms_info(u, phi, self.rat.sigma, self.acc_tol)
+        return dot_re_f64(phi, w_), iters
+
+    def force(self, u, phi):
+        # accept/reject-only monomial: no MD force (see block comment above)
+        return jnp.zeros_like(u)
+
+
+@dataclasses.dataclass(frozen=True)
+class RatCorMonomial(_RatCorMixin, RatMonomial):
+    """Correction to RatMonomial: det[(Q^2)^{1/2} R(Q^2)] by accept/reject
+    (reference: monomial/ratcor_monomial.c, types RATCOR / CLOVERRATCOR).
+    Pair it with a RatMonomial of the SAME kappa/c_sw/order/interval."""
+
+    n_terms: int = 4
+    name: str = "ratcor"
+
+    def _eta_shape(self):
+        from tmlqcd_tpu.hmc.monomials import eo_spinor_shape
+
+        return eo_spinor_shape(self.lat)
+
+
+@dataclasses.dataclass(frozen=True)
+class NDRatCorMonomial(_RatCorMixin, NDRatMonomial):
+    """Correction to NDRatMonomial: det[(Q_nd^2)^{1/2} R(Q_nd^2)] by
+    accept/reject (reference: monomial/ndratcor_monomial.c, types
+    NDRATCOR / NDCLOVERRATCOR)."""
+
+    n_terms: int = 4
+    name: str = "ndratcor"
+
+    def _eta_shape(self):
+        return _nd_spinor_shape(self.lat)
 
 
 def ndrat_correction_samples(
