@@ -71,3 +71,37 @@ def test_sw_logdet_nd_free_field():
     sh = PARAMS.mubar_t**2 - PARAMS.epsbar_t**2
     expect = (LAT.volume // 2) * 12 * np.log(1.0 + sh)
     assert abs(ld - expect) / abs(expect) < 1e-10
+
+
+def test_q_nd_clover_fast_matches_jnp():
+    """Split/Pallas clover-ND operator (materialized flavor-2x2 block
+    inverses, sw_invert_nd analog) == jnp q_nd_clover."""
+    from tmlqcd_tpu.ops import dslash_pallas as dpl
+    from tmlqcd_tpu.ops import wilson_fast as wf
+
+    u, chi = _fields(jnp.complex64)
+    ueo = pack_gauge_eo(u, LAT)
+    ph = boundary_phases(PARAMS.wilson, LAT)
+    sw_e, sw_o = cl.sw_blocks_eo(u, PARAMS.kappa, PARAMS.c_sw, LAT)
+    ref = cl.q_nd_clover(ueo, sw_e, sw_o, chi, PARAMS, LAT, ph)
+    fc = wf.make_fast_clover_nd(u, PARAMS, LAT)
+    out = dpl.merge_c(wf.q_nd_clover_fast(fc, wf.to_split(chi), PARAMS, LAT), chi.dtype)
+    assert float(jnp.max(jnp.abs(out - ref))) < 2e-4
+
+
+def test_ndrat_clover_fast_solve_matches_jnp(monkeypatch):
+    """NDRAT acceptance action with clover: the fast multishift route
+    (q_nd_sq_clover_fast) == the jnp route."""
+    from tmlqcd_tpu.hmc.rational_monomials import NDRatMonomial
+
+    u, _ = _fields(jnp.complex64)
+    mono = NDRatMonomial(
+        lat=LAT, params=PARAMS, order=6, s_min=5e-3, s_max=6.0,
+        acc_tol=1e-7, maxiter=1500,
+    )
+    phi, _ = mono.heatbath(u, jax.random.key(9))
+    monkeypatch.delenv("TMLQCD_TPU_FAST_SOLVES", raising=False)
+    s_jnp = float(mono.action(u, phi))
+    monkeypatch.setenv("TMLQCD_TPU_FAST_SOLVES", "1")
+    s_fast = float(mono.action(u, phi))
+    assert abs(s_fast - s_jnp) / abs(s_jnp) < 1e-4, (s_fast, s_jnp)

@@ -104,3 +104,28 @@ def test_mu_shift_reweighting_direction():
     p_new = DiracParams(kappa=0.13, mu=0.10)
     s = mu_shift_reweighting(u, p_old, p_new, LAT, jax.random.key(12), n_samples=4, tol=1e-9)
     assert float(jnp.mean(s)) < 0.0
+
+
+def test_ndpoly_fast_action_matches_jnp(monkeypatch):
+    """PHMC polynomial application on the split/Pallas path (Clenshaw on
+    split arrays, clover-ND via materialized blocks) == jnp path.  A random
+    phi suffices — the identity under test is the operator application, so
+    no (expensive) heatbath solve is needed."""
+    from tmlqcd_tpu import rng
+
+    u = _u0(jnp.complex64)
+    phi = rng.normal_spinor(
+        jax.random.key(4), (2, 4, 3) + LAT.eo_site_shape, jnp.complex64
+    )
+    for csw in (0.0, 1.2):
+        params = nd.NDParams(
+            kappa=PARAMS.kappa, mubar=PARAMS.mubar, epsbar=PARAMS.epsbar, c_sw=csw
+        )
+        mono = NDPolyMonomial(
+            lat=LAT, params=params, degree=12, s_min=0.05, s_max=6.0,
+        )
+        monkeypatch.setenv("TMLQCD_TPU_FAST_SOLVES", "0")
+        s_jnp = float(jax.jit(mono.action)(u, phi))
+        monkeypatch.setenv("TMLQCD_TPU_FAST_SOLVES", "1")
+        s_fast = float(jax.jit(mono.action)(u, phi))
+        assert abs(s_fast - s_jnp) / abs(s_jnp) < 1e-4, (csw, s_fast, s_jnp)

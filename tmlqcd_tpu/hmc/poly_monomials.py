@@ -70,27 +70,86 @@ class NDPolyMonomial:
     def _q2(self, u, chi):
         ph = boundary_phases(self.params.wilson, self.lat)
         ueo = pack_gauge_eo(u, self.lat)
-        q = lambda c: nd.q_nd(ueo, c, self.params, self.lat, ph)
+        if self.params.c_sw != 0.0:
+            from tmlqcd_tpu.ops import clover as cl
+
+            sw_e, sw_o = cl.sw_blocks_eo(u, self.params.kappa, self.params.c_sw, self.lat)
+            q = lambda c: cl.q_nd_clover(ueo, sw_e, sw_o, c, self.params, self.lat, ph)
+        else:
+            q = lambda c: nd.q_nd(ueo, c, self.params, self.lat, ph)
         return q(q(chi))
 
+    def _q2_fast_op(self, u):
+        """Q_nd^2 on the split/Pallas path (clover via materialized blocks);
+        Clenshaw's real-coefficient recursion runs unchanged on split
+        arrays."""
+        from tmlqcd_tpu.ops import wilson_fast as wf
+
+        if self.params.c_sw != 0.0:
+            fc = wf.make_fast_clover_nd(u, self.params, self.lat)
+            return lambda c2: wf.q_nd_sq_clover_fast(fc, c2, self.params, self.lat)
+        fg = wf.make_fast_gauge(u, self.params.wilson, self.lat)
+        return lambda c2: wf.q_nd_sq_fast(fg, c2, self.params, self.lat)
+
+    def _poly_on(self, q2, chi):
+        return chebyshev_apply(q2, self.coeffs, chi, self.s_min, self.s_max)
+
     def _poly(self, u, chi):
-        return chebyshev_apply(
-            lambda c: self._q2(u, c), self.coeffs, chi, self.s_min, self.s_max
-        )
+        return self._poly_on(lambda c: self._q2(u, c), chi)
+
+    def _use_fast(self) -> bool:
+        from tmlqcd_tpu.hmc.monomials import _use_fast_solves
+
+        return _use_fast_solves()
 
     def heatbath(self, u, key):
         eta = rng.normal_spinor(key, (2, 4, 3) + self.lat.eo_site_shape, u.dtype)
         # phi = P^{-1} eta: CG on P^2 (P hermitian positive on spec(Q^2))
+        if self._use_fast():
+            from tmlqcd_tpu.ops import dslash_pallas as dpl
+            from tmlqcd_tpu.ops import wilson_fast as wf
+
+            q2 = self._q2_fast_op(u)
+            p2 = lambda x2: self._poly_on(q2, self._poly_on(q2, x2))
+            rhs = self._poly_on(q2, wf.to_split(eta))
+            phi2 = cg(p2, rhs, tol=self.heatbath_tol, maxiter=self.maxiter).x
+            return dpl.merge_c(phi2, eta.dtype), norm_sq_f64(eta)
         p2 = lambda x: self._poly(u, self._poly(u, x))
         rhs = self._poly(u, eta)
         phi = cg(p2, rhs, tol=self.heatbath_tol, maxiter=self.maxiter).x
         return phi, norm_sq_f64(eta)
 
     def action(self, u, phi):
+        if self._use_fast():
+            from tmlqcd_tpu.ops import wilson_fast as wf
+
+            psi2 = self._poly_on(self._q2_fast_op(u), wf.to_split(phi))
+            return wf.dot_re_f64_split(psi2, psi2)
         psi = self._poly(u, phi)
         return norm_sq_f64(psi)
 
     def force(self, u, phi):
+        if self.params.c_sw == 0.0 and self._use_fast():
+            # forward pass AND the Clenshaw backward pass on the Pallas
+            # kernels (hopping custom VJP) — no inversions, degree-many
+            # rematerialized kernel applications
+            from tmlqcd_tpu.ops import wilson_fast as wf
+
+            phi2 = jax.lax.stop_gradient(wf.to_split(phi))
+            psi2 = jax.lax.stop_gradient(
+                self._poly_on(self._q2_fast_op(u), phi2)
+            )
+
+            def surrogate(uu):
+                ug_e, ug_o = wf.split_gauge_pair(uu, self.params.wilson, self.lat)
+                q2d = lambda c2: wf.q_nd_diff(
+                    ug_e, ug_o, wf.q_nd_diff(ug_e, ug_o, c2, self.params, self.lat),
+                    self.params, self.lat,
+                )
+                return 2.0 * wf.dot_re_f64_split(psi2, self._poly_on(q2d, phi2))
+
+            g = jax.grad(surrogate)(u)
+            return ta_force_from_grad(u, g)
         psi = jax.lax.stop_gradient(self._poly(u, phi))
         phi_s = jax.lax.stop_gradient(phi)
 

@@ -89,15 +89,21 @@ class NDRatMonomial:
     def _mms_info(self, u, b, shifts: np.ndarray, tol: float):
         from tmlqcd_tpu.hmc.monomials import _use_fast_solves
 
-        if self.params.c_sw == 0.0 and _use_fast_solves():
+        if _use_fast_solves():
             # the multishift CG (the dominant cost of every heatbath/
             # acceptance/force) on the Pallas split path; solutions are
-            # stopped gradients, so no kernel VJP is needed
+            # stopped gradients, so no kernel VJP is needed.  Clover-ND
+            # runs on materialized flavor-2x2 block inverses (sw_invert_nd
+            # analog, built once per gauge).
             from tmlqcd_tpu.ops import dslash_pallas as dpl
             from tmlqcd_tpu.ops import wilson_fast as wf
 
-            fg = wf.make_fast_gauge(u, self.params.wilson, self.lat)
-            mv = lambda c2: wf.q_nd_sq_fast(fg, c2, self.params, self.lat)
+            if self.params.c_sw != 0.0:
+                fc = wf.make_fast_clover_nd(u, self.params, self.lat)
+                mv = lambda c2: wf.q_nd_sq_clover_fast(fc, c2, self.params, self.lat)
+            else:
+                fg = wf.make_fast_gauge(u, self.params.wilson, self.lat)
+                mv = lambda c2: wf.q_nd_sq_fast(fg, c2, self.params, self.lat)
             res = cg_multishift(
                 mv, wf.to_split(b), jnp.asarray(shifts), tol=tol, maxiter=self.maxiter
             )

@@ -452,6 +452,58 @@ def mee_inv_blocks(sw: jax.Array, mutld: float, sign: float = +1.0) -> jax.Array
     return jnp.stack(rows)
 
 
+def _blk_mul(a, b):
+    """Product of two 6x6 matrices in 2x2-of-3x3 block form (P,Q,R,S)."""
+    return (
+        su3.mul(a[0], b[0]) + su3.mul(a[1], b[2]),
+        su3.mul(a[0], b[1]) + su3.mul(a[1], b[3]),
+        su3.mul(a[2], b[0]) + su3.mul(a[3], b[2]),
+        su3.mul(a[2], b[1]) + su3.mul(a[3], b[3]),
+    )
+
+
+def _blk_inv(p, q, r, s):
+    """Inverse of a 6x6 in 2x2-of-3x3 block form via the Schur complement."""
+    pinv, _ = _inv3(p)
+    rp = su3.mul(r, pinv)
+    stilde = s - su3.mul(rp, q)
+    sti, _ = _inv3(stilde)
+    pq = su3.mul(pinv, q)
+    qi = -su3.mul(pq, sti)
+    ri = -su3.mul(sti, rp)
+    pi = pinv - su3.mul(qi, rp)
+    return pi, qi, ri, sti
+
+
+def mee_inv_nd_blocks(sw: jax.Array, mubar_t: float, epsbar_t: float, sign: float = +1.0):
+    """Materialize the flavor-2x2 inverse of M_ee^nd as three chirality-block
+    fields (A, B, E), each [2(chir), 2, 2, 3, 3, sites] (reference:
+    sw_invert_nd computed once per gauge):
+
+        (M_ee^nd)^{-1} = [[A, -eps E], [-eps E, B]],
+        A = (C - i sign mubar g5) D^{-1},  B = (C + i sign mubar g5) D^{-1},
+        E = D^{-1},  D = C^2 + mubar^2 - eps^2   (per chirality; g5 = +-1).
+    """
+    outs = []
+    for b, pm in ((0, +1.0), (1, -1.0)):
+        mt = jnp.asarray(pm * 1j * sign * mubar_t, sw.dtype)
+        cp = _block66(sw[b], mt, sw.dtype)  # C + i mu (this chirality)
+        cm = _block66(sw[b], -mt, sw.dtype)  # C - i mu
+        d = list(_blk_mul(cp, cm))  # C^2 + mu^2
+        eye = jnp.eye(3, dtype=sw.dtype).reshape((3, 3) + (1,) * (d[0].ndim - 2))
+        e2 = jnp.asarray(epsbar_t * epsbar_t, jnp.float64).astype(
+            jnp.float32 if sw.dtype == jnp.complex64 else jnp.float64
+        )
+        d[0] = d[0] - e2 * eye
+        d[3] = d[3] - e2 * eye
+        e = _blk_inv(*d)
+        a = _blk_mul(cm, e)
+        bb = _blk_mul(cp, e)
+        pack = lambda t: jnp.stack([jnp.stack(t[:2]), jnp.stack(t[2:])])
+        outs.append((pack(a), pack(bb), pack(e)))
+    return tuple(jnp.stack([outs[0][i], outs[1][i]]) for i in range(3))
+
+
 def blocks_apply(blocks: jax.Array, psi: jax.Array) -> jax.Array:
     """Apply materialized chirality blocks [2,2,2,3,3,sites] to a spinor
     [4,3,sites]: out[s0+s] = sum_{s',c'} blocks[b,s,s'] psi[s0+s']."""

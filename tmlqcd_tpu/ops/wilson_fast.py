@@ -277,6 +277,80 @@ def q_hat_pm_clover_fast(
 
 
 # ---------------------------------------------------------------------------
+# Clover non-degenerate doublet on the split/Pallas path (reference: the
+# Qsw_ndpsi hot loop of NDCLOVERRAT multishift solves; sw_invert_nd's
+# pre-inverted flavor-2x2 blocks)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class FastCloverND:
+    """Pre-gathered gauge + materialized ND clover blocks (split f32):
+    moo_u/moo_d = flavor-diagonal M_oo(+-mubar) blocks on odd sites;
+    (minv_a, minv_b, minv_e) = the flavor-2x2 M_ee^{-1} =
+    [[A, -eps E], [-eps E, B]] on even sites — built once per gauge."""
+
+    fg: FastGauge
+    moo_u: jax.Array
+    moo_d: jax.Array
+    minv_a: jax.Array
+    minv_b: jax.Array
+    minv_e: jax.Array
+    epsbar_t: float
+
+
+def make_fast_clover_nd(u: jax.Array, params, lat: Lattice) -> FastCloverND:
+    from tmlqcd_tpu.ops import clover as cl
+
+    sw_e, sw_o = cl.sw_blocks_eo(u, params.kappa, params.c_sw, lat)
+    sp = lambda x: dp.split_c(x).astype(jnp.float32)
+    a, b, e = cl.mee_inv_nd_blocks(sw_e, params.mubar_t, params.epsbar_t, +1.0)
+    return FastCloverND(
+        fg=make_fast_gauge(u, params.wilson, lat),
+        moo_u=sp(cl.mee_blocks(sw_o, params.mubar_t, +1.0)),
+        moo_d=sp(cl.mee_blocks(sw_o, params.mubar_t, -1.0)),
+        minv_a=sp(a),
+        minv_b=sp(b),
+        minv_e=sp(e),
+        epsbar_t=params.epsbar_t,
+    )
+
+
+def _mee_nd_blocks_split(fc: FastCloverND, chi2: jax.Array) -> jax.Array:
+    eps = jnp.float32(fc.epsbar_t)
+    up = _blocks_apply_split(fc.moo_u, chi2[:, 0]) + eps * chi2[:, 1]
+    dn = _blocks_apply_split(fc.moo_d, chi2[:, 1]) + eps * chi2[:, 0]
+    return jnp.stack([up, dn], axis=1)
+
+
+def _mee_inv_nd_blocks_split(fc: FastCloverND, chi2: jax.Array) -> jax.Array:
+    eps = jnp.float32(fc.epsbar_t)
+    up = _blocks_apply_split(fc.minv_a, chi2[:, 0]) - eps * _blocks_apply_split(
+        fc.minv_e, chi2[:, 1]
+    )
+    dn = _blocks_apply_split(fc.minv_b, chi2[:, 1]) - eps * _blocks_apply_split(
+        fc.minv_e, chi2[:, 0]
+    )
+    return jnp.stack([up, dn], axis=1)
+
+
+def q_nd_clover_fast(fc: FastCloverND, chi2: jax.Array, params, lat: Lattice) -> jax.Array:
+    """Q_nd^sw = gamma5 tau1 Mhat_nd^sw on split doublets (reference:
+    Qsw_ndpsi) — hoppings on the Pallas kernel, clover blocks as
+    materialized block matvecs."""
+    k2 = jnp.float32(params.kappa * params.kappa)
+    tmp = _hop_nd(fc.fg, chi2, EVEN, lat)
+    tmp = _mee_inv_nd_blocks_split(fc, tmp)
+    tmp = _hop_nd(fc.fg, tmp, ODD, lat)
+    m = _mee_nd_blocks_split(fc, chi2) - k2 * tmp
+    return _gamma5_nd(_tau1_split(m))
+
+
+def q_nd_sq_clover_fast(fc: FastCloverND, chi2: jax.Array, params, lat: Lattice) -> jax.Array:
+    return q_nd_clover_fast(fc, q_nd_clover_fast(fc, chi2, params, lat), params, lat)
+
+
+# ---------------------------------------------------------------------------
 # Differentiable fast operator for MD forces (reference: deriv_Sb.c — here
 # the hopping's custom VJP (dslash_pallas.hopping_diff) makes the whole
 # force surrogate run on Pallas kernels, forward and backward)
