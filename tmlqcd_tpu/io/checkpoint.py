@@ -43,10 +43,16 @@ def save_checkpoint(
 ) -> str:
     """Write conf.{trajectory:06d}(.npz|.lime) + nstore_counter atomically;
     prune to the newest `keep` configs (reference: Nsave cadence + nstore)."""
-    from tmlqcd_tpu.utils import to_host
+    from tmlqcd_tpu.parallel import gather_to_host
 
     os.makedirs(run_dir, exist_ok=True)
-    u = to_host(u)
+    u = gather_to_host(u)  # sharded / multi-host safe (single-host: to_host)
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # every process gathers (collective), only rank 0 touches the fs
+        name = f"conf.{trajectory:06d}." + ("npz" if fmt == "native" else "lime")
+        return os.path.join(run_dir, name)
     if fmt == "native":
         name = f"conf.{trajectory:06d}.npz"
         tmp = os.path.join(run_dir, name + ".tmp")

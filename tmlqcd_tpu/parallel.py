@@ -32,6 +32,9 @@ __all__ = [
     "shard_gauge",
     "parallel_chains",
     "chain_init",
+    "gather_to_host",
+    "place_from_host",
+    "load_gauge_sharded",
 ]
 
 # layouts (see tmlqcd_tpu.lattice):
@@ -74,6 +77,48 @@ def shard_gauge(u: jax.Array, mesh: Mesh) -> jax.Array:
             f"lattice (T={u.shape[3]}, M={u.shape[5]}) not divisible by mesh {dict(mesh.shape)}"
         )
     return jax.device_put(u, gauge_spec(mesh))
+
+
+def gather_to_host(x) -> np.ndarray:
+    """Global (possibly sharded, possibly multi-host) array -> full numpy
+    array on the host — the checkpoint-writer staging (reference: the MPI
+    gather inside io/gauge.c's write path / LEMON parallel writes).
+
+    Single-process: jax assembles cross-device shards on device_get (complex
+    arrays go through utils.to_host — see the axon d2h limitation).
+    Multi-process: every process holds only its addressable shards, so an
+    allgather over processes assembles the global array (each host then
+    holds a full copy — callers write from process 0 only)."""
+    if not isinstance(x, jax.Array):
+        return np.asarray(x)
+    if jax.process_count() > 1:  # pragma: no cover - needs real multi-host
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    from tmlqcd_tpu import utils
+
+    return np.asarray(utils.to_host(x))
+
+
+def place_from_host(arr: np.ndarray, sharding: NamedSharding) -> jax.Array:
+    """Host array -> global sharded jax.Array with each device receiving
+    ONLY its shard (jax.make_array_from_callback) — the multi-host-safe
+    reader staging: every process reads the (replicated) checkpoint file
+    and uploads just its addressable slices, no full-array device copy
+    (reference: the per-rank scatter of io/gauge.c's read path)."""
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: np.ascontiguousarray(arr[idx])
+    )
+
+
+def load_gauge_sharded(path: str, mesh: Mesh, expect_lat=None):
+    """Read a native/ILDG checkpoint and place the gauge field directly on
+    the mesh -> (sharded u, trajectory, seed)."""
+    from tmlqcd_tpu.io.checkpoint import load_checkpoint
+
+    u, traj, seed = load_checkpoint(path, expect_lat)
+    return place_from_host(u, gauge_spec(mesh)), traj, seed
 
 
 def chain_init(n_chains: int, make_u, key: jax.Array) -> jax.Array:
