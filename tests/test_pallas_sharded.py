@@ -34,3 +34,27 @@ def test_tshard_pallas_matches_unsharded():
         lambda a, b: dp.hopping_pallas_tshard(a, b, EVEN, lat, mesh, interpret=True)
     )(ug_s, psi_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # halfspinor-compressed halos (xchange_halffield analog): same result
+    # up to reconstruction rounding (W^+ (0.5 W s) = s exactly in exact
+    # arithmetic)
+    out_h = jax.jit(
+        lambda a, b: dp.hopping_pallas_tshard(
+            a, b, EVEN, lat, mesh, interpret=True, halfspinor=True
+        )
+    )(ug_s, psi_s)
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(out), atol=1e-6)
+
+
+def test_halfspinor_projection_roundtrip():
+    """The compression identity behind the 2-spinor halo exchange:
+    W^+ (0.5 W (W^+ psi)) == W^+ psi for both t-isometries (reference:
+    the halfspinor trick of operator/halfspinor_hopping.h)."""
+    psi = dp.split_c(
+        rng.normal_spinor(jax.random.key(3), (4, 3, 8), jnp.complex64)
+    ).astype(jnp.float32)
+    for w_ in dp._W[0]:
+        s = dp._spin_map_split(w_.conj().T, psi)
+        rec = dp._spin_map_split(0.5 * w_, s)
+        s2 = dp._spin_map_split(w_.conj().T, rec)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s), atol=1e-6)
+        assert s.shape[1] == 2  # half the spin components over the wire

@@ -462,6 +462,20 @@ def _build_ext(p: int, lat_loc: Lattice, mt: int, hw: int, scale: float, interpr
     )
 
 
+def _spin_map_split(mat: np.ndarray, psi2: jax.Array) -> jax.Array:
+    """Apply a constant spin matrix (complex [s_out, s_in]) to a split
+    field [2, s_in, 3, ...] -> [2, s_out, 3, ...]."""
+    wr = jnp.asarray(mat.real, psi2.dtype)
+    wi = jnp.asarray(mat.imag, psi2.dtype)
+    re = jnp.einsum("ab,b...->a...", wr, psi2[0]) - jnp.einsum(
+        "ab,b...->a...", wi, psi2[1]
+    )
+    im = jnp.einsum("ab,b...->a...", wr, psi2[1]) + jnp.einsum(
+        "ab,b...->a...", wi, psi2[0]
+    )
+    return jnp.stack([re, im])
+
+
 def hopping_pallas_tshard(
     ug_p: jax.Array,
     psi_q: jax.Array,
@@ -472,10 +486,19 @@ def hopping_pallas_tshard(
     mt: int | None = None,
     interpret: bool = False,
     scale: float = 1.0,
+    halfspinor: bool = True,
 ) -> jax.Array:
     """Sharded H_{p,q}: the t axis distributed over `mesh[axis]`; halo
     exchange = two slice-ppermutes per application (the xchange_field
     analog), compute = the local Mosaic kernel per shard.
+
+    halfspinor=True (default) exchanges spin-PROJECTED 2-spinor halos —
+    half the ICI bytes (reference: --enable-halfspinor / xchange_halffield).
+    Lossless for the kernel: a halo slice is only ever consumed as the
+    t-neighbor through W_d^+, and with W_d^+ W_d = 2 the reconstruction
+    0.5 W_d s on the receiver satisfies W_d^+ (0.5 W_d s) = s exactly
+    (halo_lo is read as t-prev => W = (1+gamma_0) isometry; halo_hi as
+    t-next => (1-gamma_0)).
 
     Shard-count parity: T_loc must be EVEN so the in-kernel (t+x+y+p)
     parity masks coincide with the global ones (asserted).
@@ -502,9 +525,21 @@ def hopping_pallas_tshard(
     fwd = [(i, (i + 1) % tsh) for i in range(tsh)]
     bwd = [(i, (i - 1) % tsh) for i in range(tsh)]
 
+    wf_, wb_ = _W[0]  # (1 -+ gamma_0) 4x2 isometries
+
     def local_fn(ug_l, psi_l):
-        halo_lo = jax.lax.ppermute(psi_l[:, :, :, -1:], axis, fwd)
-        halo_hi = jax.lax.ppermute(psi_l[:, :, :, :1], axis, bwd)
+        if halfspinor:
+            s_lo = jax.lax.ppermute(
+                _spin_map_split(wb_.conj().T, psi_l[:, :, :, -1:]), axis, fwd
+            )
+            s_hi = jax.lax.ppermute(
+                _spin_map_split(wf_.conj().T, psi_l[:, :, :, :1]), axis, bwd
+            )
+            halo_lo = _spin_map_split(0.5 * wb_, s_lo)
+            halo_hi = _spin_map_split(0.5 * wf_, s_hi)
+        else:
+            halo_lo = jax.lax.ppermute(psi_l[:, :, :, -1:], axis, fwd)
+            halo_hi = jax.lax.ppermute(psi_l[:, :, :, :1], axis, bwd)
         ext = jnp.concatenate([halo_lo, psi_l, halo_hi], axis=3)
         return call(ext, ext, ext, ext, ext, ug_l)
 
