@@ -82,6 +82,17 @@ def test_online_measurement_correlator_positive_symmetric():
     assert np.all(np.isfinite(np.asarray(cpa)))
 
 
+def test_pion_norm_positive():
+    """PIONNORM estimator (volume Z2 source): positive per-timeslice norm
+    of the propagator (reference: meas/pion_norm.c)."""
+    from tmlqcd_tpu.meas import pion_norm
+
+    u = _u0(5)
+    cpn = np.asarray(pion_norm(u, PARAMS, LAT, jax.random.key(12), tol=1e-8))
+    assert cpn.shape == (4,)
+    assert np.all(cpn > 0) and np.all(np.isfinite(cpn))
+
+
 def test_polyakov_unit_field():
     u = jnp.broadcast_to(
         jnp.eye(3, dtype=DT).reshape(3, 3, 1, 1, 1, 1), (3, 3, 4) + LAT.site_shape

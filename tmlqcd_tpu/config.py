@@ -97,7 +97,7 @@ class IntegratorSpec:
 class MeasurementSpec:
     """One BeginMeasurement block."""
 
-    type: str  # ONLINE | GRADIENTFLOW | POLYAKOV | ORIENTEDPLAQUETTES
+    type: str  # ONLINE | GRADIENTFLOW | POLYAKOV | ORIENTEDPLAQUETTES | PIONNORM
     frequency: int = 1
     kappa: float = 0.0
     two_kappa_mu: float = 0.0

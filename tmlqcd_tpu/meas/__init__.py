@@ -11,6 +11,7 @@ from tmlqcd_tpu.meas.sources import (  # noqa: F401
 from tmlqcd_tpu.meas.correlators import (  # noqa: F401
     effective_mass,
     online_measurement,
+    pion_norm,
     pion_correlator,
 )
 from tmlqcd_tpu.meas.gradient_flow import (  # noqa: F401

@@ -27,7 +27,7 @@ from tmlqcd_tpu.lattice import Lattice
 from tmlqcd_tpu.meas.sources import z2_timeslice_source
 from tmlqcd_tpu.ops.wilson import DiracParams
 
-__all__ = ["pion_correlator", "online_measurement", "effective_mass"]
+__all__ = ["pion_correlator", "online_measurement", "effective_mass", "pion_norm"]
 
 
 def _spin_matrix_insert(psi: jax.Array, m: np.ndarray) -> jax.Array:
@@ -103,6 +103,30 @@ def online_measurement(
 
     cpp, cpa = _run(u, key, t0)
     return cpp, cpa, t0
+
+
+def pion_norm(
+    u: jax.Array,
+    params: DiracParams,
+    lat: Lattice,
+    key: jax.Array,
+    tol: float = 1e-10,
+    maxiter: int = 5000,
+) -> jax.Array:
+    """Per-timeslice pion norm |G(t)|^2 from a VOLUME Z2 source (reference:
+    meas/pion_norm.c — the PIONNORM online measurement; the Gibbs-like
+    estimator of the zero-momentum pion propagator used for quick m_PS /
+    thermalization monitoring).  One e/o-preconditioned solve; normalized
+    by the spatial volume.  Returns C(t) [T] f64."""
+    from tmlqcd_tpu.meas.sources import volume_source
+
+    @jax.jit
+    def _run(u, key):
+        src = volume_source(lat, key, u.dtype)
+        res = invert_eo(u, src, params, lat, tol=tol, maxiter=maxiter)
+        return pion_correlator(res.x, lat, 0) / (lat.volume / lat.dims[0])
+
+    return _run(u, key)
 
 
 def effective_mass(corr: np.ndarray) -> np.ndarray:

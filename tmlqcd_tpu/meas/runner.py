@@ -37,6 +37,20 @@ def run_measurements(cfg, u, lat: Lattice, traj: int, run_dir: str, key) -> None
                 # reference column layout: type t C_PP C_PA
                 for t in range(lat.dims[0]):
                     f.write(f"1 1 {t} {float(cpp[t]):.12e} {float(cpa[t]):.12e}\n")
+        elif ty == "PIONNORM":
+            from tmlqcd_tpu.meas import pion_norm
+
+            params = DiracParams(
+                kappa=m.kappa, mu=m.two_kappa_mu / (2 * m.kappa) if m.kappa else 0.0
+            )
+            cpn = pion_norm(
+                u, params, lat, mkey,
+                tol=float(m.precision) ** 0.5, maxiter=m.max_solver_iterations,
+            )
+            path = os.path.join(run_dir, f"pionnorm.{traj:06d}")
+            with open(path, "w") as f:
+                for t in range(lat.dims[0]):
+                    f.write(f"{t} {float(cpn[t]):.12e}\n")
         elif ty == "GRADIENTFLOW":
             res = wilson_flow(u, lat, eps=m.flow_eps, n_steps=m.flow_steps)
             path = os.path.join(run_dir, f"gradflow.{traj:06d}")
