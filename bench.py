@@ -154,12 +154,47 @@ def bench_dslash(dims=(32, 32, 32, 64), n_apps=100, dtype=jnp.complex64, path="p
     }
 
 
+def kernel_check(dims=(8, 8, 8, 16)) -> float:
+    """COMPILED-kernel correctness gate: the Mosaic-lowered q_hat_pm (fused
+    epilogues) vs the jnp operator on a small lattice, on whatever backend
+    is live (on TPU this exercises the real Mosaic lowering that interpret-
+    mode tests cannot — VERDICT r1 weak #3).  Returns the max abs error."""
+    from tmlqcd_tpu.ops import wilson_fast as wf
+
+    lat = Lattice(dims)
+    params = w.DiracParams(kappa=0.15, mu=0.05)
+    ph = w.boundary_phases(params, lat)
+
+    @jax.jit
+    def both(key):
+        u = su3.random_su3(key, (4,) + lat.site_shape, jnp.complex64)
+        ueo = pack_gauge_eo(u, lat)
+        psi = rng.normal_spinor(
+            jax.random.fold_in(key, 1), (4, 3) + lat.eo_site_shape, jnp.complex64
+        )
+        ref2 = wf.to_split(w.q_hat_pm(ueo, psi, params, lat, ph))
+        fg = wf.make_fast_gauge(u, params, lat)
+        out2 = wf.q_hat_pm_fast(fg, wf.to_split(psi), params, lat)
+        return jnp.max(jnp.abs(out2 - ref2))
+
+    return float(both(jax.random.key(7)))
+
+
 def main():
     path = "reference" if "--reference" in sys.argv else "pallas"
     on_cpu = jax.default_backend() == "cpu"
     dims = (8, 8, 8, 16) if on_cpu else (32, 32, 32, 64)
+    err = kernel_check()
+    check = "ok" if err < 1e-4 else f"FAIL({err:.2e})"
     r = bench_dslash(dims=dims, n_apps=4 if on_cpu else 50, path=path)
     target = 0.6 * r["roofline_gflops"]
+    import os
+
+    from tmlqcd_tpu.ops.dslash_pallas import _pick_tb, _pick_tiles
+
+    lat = Lattice(dims)
+    budget = int(os.environ.get("TMLQCD_TPU_VMEM_MB", "14")) * 2**20
+    mt, hw = _pick_tiles(lat, budget)
     print(
         json.dumps(
             {
@@ -173,6 +208,9 @@ def main():
                     "device": r["device"],
                     "lattice": list(r["dims"]),
                     "path": r["path"],
+                    "kernel_check": check,
+                    "kernel_check_err": err,
+                    "t_slabs_per_step": _pick_tb(lat, mt, hw, budget),
                 },
             }
         )

@@ -37,7 +37,12 @@ def main(argv=None):
     from tmlqcd_tpu.config import build_hmc
     from tmlqcd_tpu.config_tmlqcd import read_input
     from tmlqcd_tpu.hmc import hmc_trajectory, reversibility_check
-    from tmlqcd_tpu.io.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+    from tmlqcd_tpu.io.checkpoint import (
+        checkpoint_at,
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
     from tmlqcd_tpu.meas.runner import run_measurements
     from tmlqcd_tpu.ops.gauge_action import rectangle
 
@@ -50,7 +55,12 @@ def main(argv=None):
     key = jax.random.key(cfg.seed)
     start_traj = 0
     if cfg.start_condition == "continue":
-        info = latest_checkpoint(run_dir)
+        # InitialStoreCounter = readin -> nstore_counter file; = N -> conf.N
+        # (reference: hmc_tm.c resume bookkeeping, survey §2.8)
+        if isinstance(cfg.initial_store_counter, int):
+            info = checkpoint_at(run_dir, cfg.initial_store_counter)
+        else:
+            info = latest_checkpoint(run_dir)
         if info is None:
             print(f"[hmc] no checkpoint in {run_dir}, falling back to hot start")
             u = jax.jit(lambda k: su3.random_su3(k, (4,) + lat.site_shape))(
@@ -70,10 +80,21 @@ def main(argv=None):
             jax.random.fold_in(key, 0)
         )
 
+    # spectral-interval validation of rational/polynomial monomials against
+    # the starting configuration (reference: ndrat/phmc init eigenvalue
+    # check; mis-bracketed intervals corrupt the heatbath exactness)
+    if any(hasattr(m, "s_min") for m in hmc.monomials):
+        from tmlqcd_tpu.hmc.validate import check_rational_intervals
+
+        check_rational_intervals(hmc, u, key=jax.random.fold_in(key, 10**6))
+
     step = jax.jit(functools.partial(hmc_trajectory, hmc))
     rect_fn = jax.jit(lambda u: rectangle(u, lat))
+    udef_fn = jax.jit(su3.unitarity_defect)
     out_path = os.path.join(run_dir, "output.data")
     out = open(out_path, "a", buffering=1)
+
+    monitor_every = 10  # reference: monitor_forces at DebugLevel >= 2
 
     n_acc = 0
     for traj in range(start_traj, start_traj + cfg.measurements):
@@ -84,6 +105,7 @@ def main(argv=None):
         acc = int(st.accepted)
         n_acc += acc
         iters = " ".join(str(int(i)) for i in st.acc_iterations)
+        fiters = " ".join(str(int(i)) for i in st.force_iterations)
         line = (
             f"{traj:08d} {float(st.plaquette):.12f} {float(rect_fn(u)):.12f} "
             f"{float(st.delta_h):+.6e} {float(st.exp_mdh):.6e} {acc} {dt:.3f} {iters}"
@@ -91,7 +113,22 @@ def main(argv=None):
         out.write(line + "\n")
         if cfg.debug_level >= 1:
             print(f"[traj {traj}] plaq={float(st.plaquette):.6f} "
-                  f"dH={float(st.delta_h):+.4f} acc={acc} ({dt:.1f}s)")
+                  f"dH={float(st.delta_h):+.4f} acc={acc} ({dt:.1f}s) "
+                  f"force_iters=[{fiters}]")
+
+        if cfg.debug_level >= 2 and (traj + 1) % monitor_every == 0:
+            # per-monomial force norms + SU(3) drift (reference:
+            # monitor_forces.c at DebugLevel>=2; restoresu3 drift check)
+            from tmlqcd_tpu.hmc.monitor import monitor_forces
+
+            for fs in monitor_forces(hmc, u, jax.random.fold_in(key, -2 * traj - 2)):
+                msg = (f"# force {fs.name} ts={fs.timescale} "
+                       f"|F|^2={fs.norm_sq:.6e} max={fs.max_abs:.6e} rms={fs.rms:.6e}")
+                print(msg)
+                out.write(msg + "\n")
+            udef = float(udef_fn(u))
+            print(f"# unitarity defect max|U^+U - 1| = {udef:.3e}")
+            out.write(f"# unitarity_defect {udef:.6e}\n")
 
         run_measurements(cfg, u, lat, traj, run_dir, key)
 

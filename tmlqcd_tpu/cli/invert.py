@@ -55,9 +55,24 @@ def main(argv=None):
 
     for iop, op in enumerate(cfg.operators):
         mu = op.two_kappa_mu / (2 * op.kappa) if op.kappa else 0.0
-        params = DiracParams(kappa=op.kappa, mu=mu, c_sw=op.csw)
-        inv = invert_clover_eo if op.type.upper() in ("CLOVER",) else invert_eo
+        params = DiracParams(kappa=op.kappa, mu=mu, c_sw=op.csw, theta=tuple(op.theta))
+        is_clover = op.type.upper() in ("CLOVER",)
+        inv = invert_clover_eo if is_clover else invert_eo
         tol = float(op.precision) ** 0.5
+
+        # per-operator solver routing (reference: operator.c solver field);
+        # MG setup is built ONCE per gauge+operator and reused across all
+        # sources (reference: DDalphaAMG setup/update lifecycle)
+        inv_kw = {"solver": op.solver}
+        if op.solver in ("dflfgmres", "dflgcr", "dfl") and not is_clover:
+            from tmlqcd_tpu.inverter import make_deflation_setup
+
+            t0 = time.perf_counter()
+            defl = make_deflation_setup(u, params, lat)
+            jax.block_until_ready(defl.v)
+            print(f"[invert] op {iop}: MG setup built in "
+                  f"{time.perf_counter() - t0:.1f}s")
+            inv_kw["deflation_setup"] = defl
 
         if args.source == "point":
             sources = [
@@ -74,7 +89,8 @@ def main(argv=None):
         sol = np.zeros((len(sources), 4, 3) + lat.site_shape, np.complex64)
         for i, (s, c, src) in enumerate(sources):
             t0 = time.perf_counter()
-            res = inv(u, src, params, lat, tol=tol, maxiter=op.max_solver_iterations)
+            res = inv(u, src, params, lat, tol=tol,
+                      maxiter=op.max_solver_iterations, **inv_kw)
             jax.block_until_ready(res.x)
             dt = time.perf_counter() - t0
             from tmlqcd_tpu.utils import to_host

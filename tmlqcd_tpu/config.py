@@ -72,6 +72,10 @@ class MonomialSpec:
     acceptance_precision: float = 1e-18  # |r|^2 tolerances (reference naming)
     force_precision: float = 1e-16
     max_solver_iterations: int = 5000
+    solver: str = "auto"  # reference: Solver = CG | MIXEDCG | RGMIXEDCG ...
+    csg_history: int = 3  # chrono-guess depth (reference: CSGHistory; 0 off)
+    theta: tuple = (1.0, 0.0, 0.0, 0.0)  # boundary phases (ThetaT/X/Y/Z;
+    # theta_t = 1 is the conventional antiperiodic time BC)
     name: str = ""
 
 
@@ -116,9 +120,11 @@ class OperatorSpec:
     kappa: float = 0.0
     two_kappa_mu: float = 0.0
     csw: float = 0.0
-    solver: str = "cg"  # cg | mixedcg
+    solver: str = "cg"  # cg | mixedcg | fastcg | fastmixed | dflfgmres
     precision: float = 1e-18
     max_solver_iterations: int = 5000
+    theta: tuple = (1.0, 0.0, 0.0, 0.0)  # ThetaT/X/Y/Z boundary phases
+    propagator_precision: int = 64  # reference: PropagatorPrecision (32|64)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,6 +150,10 @@ class RunConfig:
     debug_level: int = 1
     output_dir: str = "."
     checkpoint_format: str = "native"  # native | ildg
+    # reference: InitialStoreCounter = readin | N (resume bookkeeping):
+    # "readin" reads the nstore counter from the run dir; an integer starts
+    # the trajectory counter there (loading that config when continuing)
+    initial_store_counter: object = "readin"
 
     @property
     def lat(self) -> Lattice:
@@ -166,43 +176,58 @@ def build_monomial(spec: MonomialSpec, lat: Lattice, beta: float, c1: float):
         force_tol=tol_force,
         maxiter=spec.max_solver_iterations,
     )
+    # solver routing + chrono history apply to the CG-solving det family
+    # (multishift rational solves need zero initial guesses)
+    det_common = dict(common, solver=spec.solver, chrono_n=spec.csg_history)
     if ty == "GAUGE":
         return GaugeMonomial(lat=lat, beta=beta, c1=c1, timescale=spec.timescale)
     if ty == "DET":
         return DetMonomial(
             lat=lat,
-            params=DiracParams(kappa=spec.kappa, mu=_mu(spec.two_kappa_mu, spec.kappa)),
+            params=DiracParams(
+                kappa=spec.kappa, mu=_mu(spec.two_kappa_mu, spec.kappa),
+                theta=tuple(spec.theta),
+            ),
             name=spec.name or "det",
-            **common,
+            **det_common,
         )
     if ty == "DETRATIO":
         return DetRatioMonomial(
             lat=lat,
-            params1=DiracParams(kappa=spec.kappa, mu=_mu(spec.two_kappa_mu, spec.kappa)),
-            params2=DiracParams(kappa=spec.kappa, mu=_mu(spec.two_kappa_mu2, spec.kappa)),
+            params1=DiracParams(
+                kappa=spec.kappa, mu=_mu(spec.two_kappa_mu, spec.kappa),
+                theta=tuple(spec.theta),
+            ),
+            params2=DiracParams(
+                kappa=spec.kappa, mu=_mu(spec.two_kappa_mu2, spec.kappa),
+                theta=tuple(spec.theta),
+            ),
             name=spec.name or "detratio",
-            **common,
+            **det_common,
         )
     if ty == "CLOVERDET":
         return CloverDetMonomial(
             lat=lat,
             params=DiracParams(
-                kappa=spec.kappa, mu=_mu(spec.two_kappa_mu, spec.kappa), c_sw=spec.csw
+                kappa=spec.kappa, mu=_mu(spec.two_kappa_mu, spec.kappa),
+                c_sw=spec.csw, theta=tuple(spec.theta),
             ),
             name=spec.name or "cloverdet",
-            **common,
+            **det_common,
         )
     if ty == "CLOVERDETRATIO":
         return CloverDetRatioMonomial(
             lat=lat,
             params1=DiracParams(
-                kappa=spec.kappa, mu=_mu(spec.two_kappa_mu, spec.kappa), c_sw=spec.csw
+                kappa=spec.kappa, mu=_mu(spec.two_kappa_mu, spec.kappa),
+                c_sw=spec.csw, theta=tuple(spec.theta),
             ),
             params2=DiracParams(
-                kappa=spec.kappa, mu=_mu(spec.two_kappa_mu2, spec.kappa), c_sw=spec.csw
+                kappa=spec.kappa, mu=_mu(spec.two_kappa_mu2, spec.kappa),
+                c_sw=spec.csw, theta=tuple(spec.theta),
             ),
             name=spec.name or "cloverdetratio",
-            **common,
+            **det_common,
         )
     if ty == "CLOVERTRLOG":
         return CloverTrlogMonomial(
@@ -223,6 +248,7 @@ def build_monomial(spec: MonomialSpec, lat: Lattice, beta: float, c1: float):
                 mubar=_mu(spec.two_kappa_mubar, spec.kappa),
                 epsbar=_mu(spec.two_kappa_epsbar, spec.kappa),
                 c_sw=spec.csw,
+                theta=tuple(spec.theta),
             ),
             degree=max(spec.rat_order, 32),
             s_min=spec.stilde_min,
@@ -241,6 +267,7 @@ def build_monomial(spec: MonomialSpec, lat: Lattice, beta: float, c1: float):
                 mubar=_mu(spec.two_kappa_mubar, spec.kappa),
                 epsbar=_mu(spec.two_kappa_epsbar, spec.kappa),
                 c_sw=spec.csw,
+                theta=tuple(spec.theta),
             ),
             order=spec.rat_order,
             s_min=spec.stilde_min,
@@ -252,7 +279,9 @@ def build_monomial(spec: MonomialSpec, lat: Lattice, beta: float, c1: float):
         cls = RatCorMonomial if ty.endswith("COR") else RatMonomial
         return cls(
             lat=lat,
-            params=DiracParams(kappa=spec.kappa, mu=0.0, c_sw=spec.csw),
+            params=DiracParams(
+                kappa=spec.kappa, mu=0.0, c_sw=spec.csw, theta=tuple(spec.theta)
+            ),
             order=spec.rat_order,
             s_min=spec.stilde_min,
             s_max=spec.stilde_max,

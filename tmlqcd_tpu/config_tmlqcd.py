@@ -65,19 +65,37 @@ def parse_input(text: str) -> RunConfig:
     block: dict | None = None
     block_kind = block_name = ""
 
+    raw_blocks: list[tuple[str, str, dict]] = []
     for ev, a, b in _tokenize(text):
         if ev == "begin":
             block, block_kind, block_name = {}, a, b
         elif ev == "end":
-            if block_kind == "monomial":
-                monomials.append(_monomial(block_name, block))
-            elif block_kind == "operator":
-                operators.append(_operator(block_name, block))
-            elif block_kind == "measurement":
-                meas.append(_measurement(block_name, block))
+            raw_blocks.append((block_kind, block_name, block))
             block = None
         else:  # kv
             (block if block is not None else g)[a] = b
+
+    # global boundary phases (reference: boundary.c ThetaT/X/Y/Z keys;
+    # theta_t = 1 -> antiperiodic time BC, the production convention) and
+    # globally inherited physics parameters (reference: read_input.l fills
+    # g_kappa/g_mu/g_c_sw first; blocks without their own keys inherit them)
+    theta = (
+        _num(g.get("thetat", g.get("theta0", "1.0"))),
+        _num(g.get("thetax", g.get("theta1", "0.0"))),
+        _num(g.get("thetay", g.get("theta2", "0.0"))),
+        _num(g.get("thetaz", g.get("theta3", "0.0"))),
+    )
+    inherit = {k: g[k] for k in ("kappa", "2kappamu", "csw") if k in g}
+
+    for block_kind, block_name, block in raw_blocks:
+        blk = dict(inherit)
+        blk.update(block)
+        if block_kind == "monomial":
+            monomials.append(_monomial(block_name, blk, theta))
+        elif block_kind == "operator":
+            operators.append(_operator(block_name, blk, theta))
+        elif block_kind == "measurement":
+            meas.append(_measurement(block_name, block))
 
     # integrator: tau + per-timescale IntegrationSteps from monomial blocks
     # (the reference puts integration steps on the monomials)
@@ -106,6 +124,9 @@ def parse_input(text: str) -> RunConfig:
         return _num(g[key]) if key in g else default
 
     lx = gi("lx", gi("l", 4))
+    # InitialStoreCounter = readin | N (reference: resume bookkeeping)
+    isc_raw = g.get("initialstorecounter", "readin").strip().lower()
+    isc = "readin" if isc_raw == "readin" else int(_num(isc_raw))
     return RunConfig(
         t=gi("t", 4),
         lx=lx,
@@ -126,6 +147,7 @@ def parse_input(text: str) -> RunConfig:
         reversibility_check=bool(gi("reversibilitycheck", 0)),
         reversibility_interval=gi("reversibilitycheckintervall", 100),
         debug_level=gi("debuglevel", 1),
+        initial_store_counter=isc,
     )
 
 
@@ -134,7 +156,7 @@ def parse_input(text: str) -> RunConfig:
 _MONOMIAL_BLOCKS: list[dict] = []
 
 
-def _monomial(name: str, blk: dict) -> MonomialSpec:
+def _monomial(name: str, blk: dict, theta=(1.0, 0.0, 0.0, 0.0)) -> MonomialSpec:
     _MONOMIAL_BLOCKS.append(dict(blk))
     f = lambda k, d=0.0: _num(blk[k]) if k in blk else d
     i = lambda k, d=0: int(_num(blk[k])) if k in blk else d
@@ -153,11 +175,14 @@ def _monomial(name: str, blk: dict) -> MonomialSpec:
         acceptance_precision=f("acceptanceprecision", 1e-18),
         force_precision=f("forceprecision", 1e-16),
         max_solver_iterations=i("maxsolveriterations", 5000),
+        solver=blk.get("solver", "auto").lower(),
+        csg_history=i("csghistory", 3),
+        theta=theta,
         name=blk.get("name", ""),
     )
 
 
-def _operator(name: str, blk: dict) -> OperatorSpec:
+def _operator(name: str, blk: dict, theta=(1.0, 0.0, 0.0, 0.0)) -> OperatorSpec:
     f = lambda k, d=0.0: _num(blk[k]) if k in blk else d
     i = lambda k, d=0: int(_num(blk[k])) if k in blk else d
     return OperatorSpec(
@@ -168,6 +193,8 @@ def _operator(name: str, blk: dict) -> OperatorSpec:
         solver=blk.get("solver", "cg").lower(),
         precision=f("solverprecision", 1e-18),
         max_solver_iterations=i("maxsolveriterations", 5000),
+        theta=theta,
+        propagator_precision=i("propagatorprecision", 64),
     )
 
 

@@ -56,12 +56,22 @@ class IntegratorConfig:
     reunitarize_every: int = 1  # project_su3 after every drift by default
 
 
-def integrate(cfg: IntegratorConfig, monomials, aux_list, u, p):
-    """Run one MD trajectory of length cfg.tau; returns (u', p').
+def integrate(cfg: IntegratorConfig, monomials, aux_list, u, p, chrono=None):
+    """Run one MD trajectory of length cfg.tau.
 
     `monomials` is the static list; `aux_list` the per-monomial pseudofermion
-    state (from heatbath), both closed over — the scan carry is just (u, p).
+    state (from heatbath), both closed over.
+
+    `chrono` (optional) is a tuple of per-monomial ChronoHistory (or None)
+    entries; when given, kicks call `force_chrono(u, aux, hist)` so every
+    force solve starts from the chronological guess and pushes its solution
+    (reference: chrono_guess.c called from the derivativefunctions, survey
+    §2.6 "Big HMC speedup"), and the return value is
+    (u', p', chrono', force_iterations[n_monomials]).  Without `chrono`, the
+    scan carry is just (u, p) and the return is (u', p').
     """
+
+    import jax.numpy as jnp
 
     by_level = {
         lvl: [i for i, m in enumerate(monomials) if m.timescale == lvl]
@@ -74,15 +84,24 @@ def integrate(cfg: IntegratorConfig, monomials, aux_list, u, p):
                 f"{len(cfg.levels)} integrator levels configured"
             )
 
-    def kick(lvl: int, eps: float, u, p):
+    with_chrono = chrono is not None
+    nm = len(monomials)
+
+    def kick(lvl: int, eps: float, u, p, ch, its):
         idx = by_level[lvl]
         if not idx:
-            return p
+            return p, ch, its
         f = None
         for i in idx:
-            fi = monomials[i].force(u, aux_list[i])
+            m = monomials[i]
+            if with_chrono and ch[i] is not None and hasattr(m, "force_chrono"):
+                fi, hi, ki = m.force_chrono(u, aux_list[i], ch[i])
+                ch = ch[:i] + (hi,) + ch[i + 1:]
+                its = its.at[i].add(ki)
+            else:
+                fi = m.force(u, aux_list[i])
             f = fi if f is None else f + fi
-        return p + (0.5 * eps) * f
+        return p + (0.5 * eps) * f, ch, its
 
     def drift(eps: float, u, p):
         unew = su3.mul(su3.expm_ta(eps * p), u)
@@ -90,40 +109,56 @@ def integrate(cfg: IntegratorConfig, monomials, aux_list, u, p):
             unew = su3.project_su3(unew)
         return unew
 
-    def sub(lvl: int, t: float, u, p):
+    def sub(lvl: int, t: float, u, p, ch, its):
         """Advance all scales strictly finer than lvl over time t."""
         if lvl == 0:
-            return drift(t, u, p), p
-        return _level(lvl - 1, t, u, p)
+            return drift(t, u, p), p, ch, its
+        return _level(lvl - 1, t, u, p, ch, its)
 
-    def _level(lvl: int, t: float, u, p):
+    def _level(lvl: int, t: float, u, p, ch, its):
+        """One level as a FUSED kick schedule: adjacent momentum kicks at
+        step boundaries are merged (reference: integrator.c's half-step
+        fusion) — runtime drops from 3n to 2n+1 force evaluations per 2MN
+        level (n+1 instead of 2n for leapfrog), and the force graph is
+        traced at two call sites per level instead of three (the scan body
+        and the final kick), which matters for XLA compile time."""
+        import numpy as np
+
         n = cfg.levels[lvl].steps
         dt = t / n
         scheme = cfg.levels[lvl].scheme
 
         if scheme == "leapfrog":
-
-            def step(carry, _):
-                u, p = carry
-                p = kick(lvl, 0.5 * dt, u, p)
-                u, p = sub(lvl, dt, u, p)
-                p = kick(lvl, 0.5 * dt, u, p)
-                return (u, p), None
-
+            # [0.5, 1, 1, ..., 1, 0.5] * dt with a full-dt sub after each
+            # kick except the last
+            kicks = np.full(n + 1, dt)
+            kicks[0] = kicks[-1] = 0.5 * dt
+            sub_dt = dt
         else:  # 2mn
-
             lam = LAMBDA_2MN
+            # per step: lam, (1-2lam), lam; boundary lam+lam fuse to 2lam
+            kicks = np.empty(2 * n + 1)
+            kicks[0::2] = 2.0 * lam * dt
+            kicks[1::2] = (1.0 - 2.0 * lam) * dt
+            kicks[0] = kicks[-1] = lam * dt
+            sub_dt = 0.5 * dt
 
-            def step(carry, _):
-                u, p = carry
-                p = kick(lvl, lam * dt, u, p)
-                u, p = sub(lvl, 0.5 * dt, u, p)
-                p = kick(lvl, (1.0 - 2.0 * lam) * dt, u, p)
-                u, p = sub(lvl, 0.5 * dt, u, p)
-                p = kick(lvl, lam * dt, u, p)
-                return (u, p), None
+        def body(carry, c):
+            u, p, ch, its = carry
+            p, ch, its = kick(lvl, c, u, p, ch, its)
+            u, p, ch, its = sub(lvl, sub_dt, u, p, ch, its)
+            return (u, p, ch, its), None
 
-        (u, p), _ = jax.lax.scan(step, (u, p), None, length=n)
-        return u, p
+        # f32 scalars: a weak f64 coefficient would promote the c64 momentum
+        # update to complex128 (unsupported on TPU)
+        xs = jnp.asarray(kicks[:-1], jnp.float32)
+        (u, p, ch, its), _ = jax.lax.scan(body, (u, p, ch, its), xs)
+        p, ch, its = kick(lvl, float(kicks[-1]), u, p, ch, its)
+        return u, p, ch, its
 
-    return _level(len(cfg.levels) - 1, cfg.tau, u, p)
+    ch0 = chrono if with_chrono else tuple(None for _ in monomials)
+    its0 = jnp.zeros((nm,), jnp.int32)
+    u, p, ch, its = _level(len(cfg.levels) - 1, cfg.tau, u, p, ch0, its0)
+    if with_chrono:
+        return u, p, ch, its
+    return u, p

@@ -19,6 +19,7 @@ hand-derived deriv_Sb.c outer-product kernels with AD through the dslash.
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,7 @@ from tmlqcd_tpu.lattice import Lattice, pack_gauge_eo
 from tmlqcd_tpu.ops import wilson as w
 from tmlqcd_tpu.ops.gauge_action import gauge_action, ta_force_from_grad
 from tmlqcd_tpu.solvers.cg import cg
+from tmlqcd_tpu.solvers.chrono import ChronoHistory, chrono_guess, chrono_init, chrono_push
 
 __all__ = ["GaugeMonomial", "DetMonomial", "DetRatioMonomial", "norm_sq_f64", "dot_re_f64"]
 
@@ -101,18 +103,80 @@ def _use_fast_solves() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _solve_qpm(u, b, params, lat, tol, maxiter):
-    """CG on Qhat_pm: Pallas fast path on TPU, jnp path elsewhere
-    (reference: solve_degenerate routing to the accelerated backend)."""
+class SolveOut(NamedTuple):
+    """One solve through the dispatch seam: solution (complex), iteration
+    count, and the updated chrono history (None when chrono is off)."""
+
+    x: jax.Array
+    iterations: jax.Array
+    hist: object
+
+
+def _resolve_solver(solver: str) -> str:
+    """'auto' -> reliable-update bf16-sloppy mixed CG on the TPU fast path
+    (reference: the ExternalInverter default routing in monomial_solve.c),
+    plain CG on the jnp/CPU path."""
+    if solver != "auto":
+        return solver.lower()
+    return "rgmixedcg" if _use_fast_solves() else "cg"
+
+
+def _seam_solve(mv, b, name, tol, maxiter, mv_lo=None, lo_dtype=None, x0=None):
+    """Route one hermitian solve through solvers.dispatch (reference:
+    monomial_solve.c solve_degenerate — the single seam where Solver= keys
+    and external backends resolve)."""
+    from tmlqcd_tpu.solvers import dispatch
+
+    kw = {}
+    if x0 is not None:
+        kw["x0"] = x0
+    if name in ("mixedcg", "rgmixedcg"):
+        if mv_lo is not None:
+            kw["matvec_lo"] = mv_lo
+        if lo_dtype is not None:
+            kw["lo_dtype"] = lo_dtype
+    x, iters, _ = dispatch.solve_degenerate(mv, b, solver=name, tol=tol, maxiter=maxiter, **kw)
+    return x, iters
+
+
+def _solve_qpm(u, b, params, lat, tol, maxiter, solver="auto", hist=None):
+    """Solve Qhat_pm x = b through the dispatch seam: Pallas fast path on
+    TPU (bf16 sloppy-gauge low operator for the mixed solvers), jnp path
+    elsewhere (reference: solve_degenerate routing to the accelerated
+    backend).  `hist` (ChronoHistory) supplies the chronological initial
+    guess and receives the solution (reference: chrono_guess.c called
+    around every monomial derivative solve)."""
+    name = _resolve_solver(solver)
     if _use_fast_solves():
         from tmlqcd_tpu.ops import wilson_fast as wf
 
         fg = wf.make_fast_gauge(u, params, lat)
         mv = lambda x2: wf.q_hat_pm_fast(fg, x2, params, lat)
-        res = cg(mv, wf.to_split(b), tol=tol, maxiter=maxiter)
-        return res._replace(x=wf.from_split(res.x, b.dtype))
+        mv_lo = None
+        if name in ("mixedcg", "rgmixedcg"):
+            fg16 = wf.make_fast_gauge(u, params, lat, sloppy=True)
+            mv_lo = lambda x2: wf.q_hat_pm_fast(fg16, x2, params, lat)
+        b2 = wf.to_split(b)
+        x0 = chrono_guess(hist, mv, b2) if hist is not None else None
+        x2, iters = _seam_solve(mv, b2, name, tol, maxiter, mv_lo, jnp.float32, x0)
+        hist2 = chrono_push(hist, x2) if hist is not None else None
+        return SolveOut(wf.from_split(x2, b.dtype), iters, hist2)
     mv = lambda x: _qhat_pm_full(u, x, params, lat)
-    return cg(mv, b, tol=tol, maxiter=maxiter)
+    x0 = chrono_guess(hist, mv, b) if hist is not None else None
+    x, iters = _seam_solve(mv, b, name, tol, maxiter, x0=x0)
+    hist2 = chrono_push(hist, x) if hist is not None else None
+    return SolveOut(x, iters, hist2)
+
+
+def _chrono_state(lat: Lattice, n: int, nd: bool = False):
+    """Empty per-monomial chrono history in the representation the solves
+    use (split f32 on the fast path, complex64 on the jnp path)."""
+    if n <= 0:
+        return None
+    shape = ((2,) if nd else ()) + (4, 3) + lat.eo_site_shape
+    if _use_fast_solves():
+        return chrono_init(n, (2,) + shape, jnp.float32)
+    return chrono_init(n, shape, jnp.complex64)
 
 
 
@@ -132,6 +196,8 @@ class DetMonomial:
     acc_tol: float = 1e-8
     force_tol: float = 1e-7
     maxiter: int = 1000
+    solver: str = "auto"  # reference: the per-monomial Solver = key
+    chrono_n: int = 3  # chrono-guess history depth (0 disables; CSGHistory)
     name: str = "det"
 
     def heatbath(self, u, key):
@@ -139,31 +205,43 @@ class DetMonomial:
         phi = _qhat_plus_full(u, eta, self.params, self.lat, -1.0)
         return phi, norm_sq_f64(eta)
 
-    def _solve(self, u, b, tol):
-        return _solve_qpm(u, b, self.params, self.lat, tol, self.maxiter)
+    def chrono_init_state(self):
+        return _chrono_state(self.lat, self.chrono_n)
+
+    def _solve(self, u, b, tol, hist=None):
+        return _solve_qpm(
+            u, b, self.params, self.lat, tol, self.maxiter, self.solver, hist
+        )
 
     def action(self, u, phi):
         return self.action_info(u, phi)[0]
 
-    def action_info(self, u, phi):
+    def action_info(self, u, phi, hist=None):
         """(S, acceptance-solve iterations) — the per-monomial iteration
-        count of the reference's output.data / verbose solver logs."""
-        res = self._solve(u, phi, self.acc_tol)
+        count of the reference's output.data / verbose solver logs.  `hist`
+        seeds the solve with the chrono guess from the MD force history."""
+        res = self._solve(u, phi, self.acc_tol, hist)
         return dot_re_f64(phi, res.x), res.iterations
 
     def force(self, u, phi):
+        return self.force_chrono(u, phi, None)[0]
+
+    def force_chrono(self, u, phi, hist):
+        """(F, hist', iterations) — the derivative solve with chronological
+        guessing threaded through the MD (reference: det_monomial.c
+        derivativefunction calling chrono_guess + solve + deriv_Sb)."""
+        res = self._solve(u, phi, self.force_tol, hist)
         if _use_fast_solves():
-            # solve AND surrogate gradient on the Pallas kernels: the
-            # hopping's custom VJP (deriv_Sb analog) carries the backward
-            # pass; only gauge_copy's chain rule stays on jnp
+            # surrogate gradient on the Pallas kernels: the hopping's
+            # custom VJP (deriv_Sb analog) carries the backward pass; only
+            # gauge_copy's chain rule stays on jnp
             from tmlqcd_tpu.ops import wilson_fast as wf
 
             fg = wf.make_fast_gauge(u, self.params, self.lat)
-            mv = lambda x2: wf.q_hat_pm_fast(fg, x2, self.params, self.lat)
-            x2 = cg(mv, wf.to_split(phi), tol=self.force_tol, maxiter=self.maxiter).x
-            y2 = wf.q_hat_fast(fg, x2, self.params, self.lat, +1.0)
-            x2 = jax.lax.stop_gradient(x2)
-            y2 = jax.lax.stop_gradient(y2)
+            x2 = jax.lax.stop_gradient(wf.to_split(res.x))
+            y2 = jax.lax.stop_gradient(
+                wf.q_hat_fast(fg, x2, self.params, self.lat, +1.0)
+            )
 
             def surrogate(uu):
                 ug_e, ug_o = wf.split_gauge_pair(uu, self.params, self.lat)
@@ -171,8 +249,8 @@ class DetMonomial:
                 return -2.0 * wf.dot_re_f64_split(y2, qx)
 
             g = jax.grad(surrogate)(u)
-            return ta_force_from_grad(u, g)
-        x = self._solve(u, phi, self.force_tol).x
+            return ta_force_from_grad(u, g), res.hist, res.iterations
+        x = res.x
         y = _qhat_plus_full(u, x, self.params, self.lat, +1.0)
         x = jax.lax.stop_gradient(x)
         y = jax.lax.stop_gradient(y)
@@ -182,7 +260,7 @@ class DetMonomial:
             return -2.0 * dot_re_f64(y, qx)
 
         g = jax.grad(surrogate)(u)
-        return ta_force_from_grad(u, g)
+        return ta_force_from_grad(u, g), res.hist, res.iterations
 
 
 @dataclasses.dataclass(frozen=True)
@@ -205,6 +283,8 @@ class DetRatioMonomial:
     acc_tol: float = 1e-8
     force_tol: float = 1e-7
     maxiter: int = 1000
+    solver: str = "auto"
+    chrono_n: int = 3
     name: str = "detratio"
 
     def heatbath(self, u, key):
@@ -213,8 +293,14 @@ class DetRatioMonomial:
         eta = rng.normal_spinor(key, eo_spinor_shape(self.lat), u.dtype)
         b = _qhat_plus_full(u, eta, self.params1, self.lat, -1.0)
         b2 = _qhat_plus_full(u, b, self.params2, self.lat, -1.0)
-        phi = _solve_qpm(u, b2, self.params2, self.lat, self.acc_tol, self.maxiter).x
+        phi = _solve_qpm(
+            u, b2, self.params2, self.lat, self.acc_tol, self.maxiter, self.solver
+        ).x
         return phi, norm_sq_f64(eta)
+
+    def chrono_init_state(self):
+        # history for the params1 (light-operator) force/acceptance solves
+        return _chrono_state(self.lat, self.chrono_n)
 
     def _psi(self, u, phi):
         """psi = Qhat_+(mu2) phi."""
@@ -223,23 +309,31 @@ class DetRatioMonomial:
     def action(self, u, phi):
         return self.action_info(u, phi)[0]
 
-    def action_info(self, u, phi):
+    def action_info(self, u, phi, hist=None):
         psi = self._psi(u, phi)
-        res = _solve_qpm(u, psi, self.params1, self.lat, self.acc_tol, self.maxiter)
+        res = _solve_qpm(
+            u, psi, self.params1, self.lat, self.acc_tol, self.maxiter, self.solver, hist
+        )
         return dot_re_f64(psi, res.x), res.iterations
 
     def force(self, u, phi):
+        return self.force_chrono(u, phi, None)[0]
+
+    def force_chrono(self, u, phi, hist):
         if _use_fast_solves():
             from tmlqcd_tpu.ops import wilson_fast as wf
 
             fg = wf.make_fast_gauge(u, self.params1, self.lat)
             psi2 = wf.q_hat_fast(fg, wf.to_split(phi), self.params2, self.lat, +1.0)
-            mv1 = lambda x2: wf.q_hat_pm_fast(fg, x2, self.params1, self.lat)
-            x2 = cg(mv1, psi2, tol=self.force_tol, maxiter=self.maxiter).x
-            y2 = wf.q_hat_fast(fg, x2, self.params1, self.lat, +1.0)
+            res = _solve_qpm(
+                u, wf.from_split(psi2, phi.dtype), self.params1, self.lat,
+                self.force_tol, self.maxiter, self.solver, hist,
+            )
+            x2 = jax.lax.stop_gradient(wf.to_split(res.x))
+            y2 = jax.lax.stop_gradient(
+                wf.q_hat_fast(fg, x2, self.params1, self.lat, +1.0)
+            )
             phi2 = jax.lax.stop_gradient(wf.to_split(phi))
-            x2 = jax.lax.stop_gradient(x2)
-            y2 = jax.lax.stop_gradient(y2)
 
             def surrogate(uu):
                 ug_e, ug_o = wf.split_gauge_pair(uu, self.params1, self.lat)
@@ -248,9 +342,12 @@ class DetRatioMonomial:
                 return 2.0 * wf.dot_re_f64_split(x2, t2) - 2.0 * wf.dot_re_f64_split(y2, t1)
 
             g = jax.grad(surrogate)(u)
-            return ta_force_from_grad(u, g)
+            return ta_force_from_grad(u, g), res.hist, res.iterations
         psi = self._psi(u, phi)
-        x = _solve_qpm(u, psi, self.params1, self.lat, self.force_tol, self.maxiter).x
+        res = _solve_qpm(
+            u, psi, self.params1, self.lat, self.force_tol, self.maxiter, self.solver, hist
+        )
+        x = res.x
         y = _qhat_plus_full(u, x, self.params1, self.lat, +1.0)
         phi_s = jax.lax.stop_gradient(phi)
         x = jax.lax.stop_gradient(x)
@@ -265,7 +362,7 @@ class DetRatioMonomial:
             return 2.0 * dot_re_f64(x, t2) - 2.0 * dot_re_f64(y, t1)
 
         g = jax.grad(surrogate)(u)
-        return ta_force_from_grad(u, g)
+        return ta_force_from_grad(u, g), res.hist, res.iterations
 
 
 # ---------------------------------------------------------------------------
@@ -294,18 +391,31 @@ def _clover_ops(u, params, lat):
     return qpm, qplus
 
 
-def _solve_qsw(u, b, params, lat, tol, maxiter):
-    """CG on Qsw_pm: Pallas fast path on TPU (materialized M_oo / M_ee^{-1}
-    blocks + kernel hopping), jnp path elsewhere."""
+def _solve_qsw(u, b, params, lat, tol, maxiter, solver="auto", hist=None):
+    """Solve Qsw_pm x = b through the dispatch seam: Pallas fast path on TPU
+    (materialized M_oo / M_ee^{-1} blocks + kernel hopping; bf16 sloppy
+    gauge for the mixed solvers' low operator), jnp path elsewhere.  `hist`
+    supplies/receives the chronological guess."""
+    name = _resolve_solver(solver)
     if _use_fast_solves():
         from tmlqcd_tpu.ops import wilson_fast as wf
 
         fc = wf.make_fast_clover(u, params, lat)
         mv = lambda x2: wf.q_hat_pm_clover_fast(fc, x2, params, lat)
-        res = cg(mv, wf.to_split(b), tol=tol, maxiter=maxiter)
-        return res._replace(x=wf.from_split(res.x, b.dtype))
+        mv_lo = None
+        if name in ("mixedcg", "rgmixedcg"):
+            fc16 = wf.make_fast_clover(u, params, lat, sloppy=True)
+            mv_lo = lambda x2: wf.q_hat_pm_clover_fast(fc16, x2, params, lat)
+        b2 = wf.to_split(b)
+        x0 = chrono_guess(hist, mv, b2) if hist is not None else None
+        x2, iters = _seam_solve(mv, b2, name, tol, maxiter, mv_lo, jnp.float32, x0)
+        hist2 = chrono_push(hist, x2) if hist is not None else None
+        return SolveOut(wf.from_split(x2, b.dtype), iters, hist2)
     qpm, _ = _clover_ops(u, params, lat)
-    return cg(qpm, b, tol=tol, maxiter=maxiter)
+    x0 = chrono_guess(hist, qpm, b) if hist is not None else None
+    x, iters = _seam_solve(qpm, b, name, tol, maxiter, x0=x0)
+    hist2 = chrono_push(hist, x) if hist is not None else None
+    return SolveOut(x, iters, hist2)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -322,6 +432,8 @@ class CloverDetMonomial:
     acc_tol: float = 1e-8
     force_tol: float = 1e-7
     maxiter: int = 1000
+    solver: str = "auto"
+    chrono_n: int = 3
     name: str = "cloverdet"
 
     def heatbath(self, u, key):
@@ -330,26 +442,36 @@ class CloverDetMonomial:
         phi = qplus(eta, -1.0)
         return phi, norm_sq_f64(eta)
 
+    def chrono_init_state(self):
+        return _chrono_state(self.lat, self.chrono_n)
+
     def action(self, u, phi):
         return self.action_info(u, phi)[0]
 
-    def action_info(self, u, phi):
-        res = _solve_qsw(u, phi, self.params, self.lat, self.acc_tol, self.maxiter)
+    def action_info(self, u, phi, hist=None):
+        res = _solve_qsw(
+            u, phi, self.params, self.lat, self.acc_tol, self.maxiter, self.solver, hist
+        )
         return dot_re_f64(phi, res.x), res.iterations
 
     def force(self, u, phi):
+        return self.force_chrono(u, phi, None)[0]
+
+    def force_chrono(self, u, phi, hist):
+        res = _solve_qsw(
+            u, phi, self.params, self.lat, self.force_tol, self.maxiter, self.solver, hist
+        )
         if _use_fast_solves():
-            # solve + the hopping part of the surrogate gradient on the
-            # Pallas kernels; the clover-term force (sw_deriv analog) flows
+            # the hopping part of the surrogate gradient on the Pallas
+            # kernels; the clover-term force (sw_deriv analog) flows
             # through jnp AD of the block construction
             from tmlqcd_tpu.ops import wilson_fast as wf
 
             fc = wf.make_fast_clover(u, self.params, self.lat)
-            mv = lambda x2: wf.q_hat_pm_clover_fast(fc, x2, self.params, self.lat)
-            x2 = cg(mv, wf.to_split(phi), tol=self.force_tol, maxiter=self.maxiter).x
-            y2 = wf.q_hat_clover_fast(fc, x2, self.params, self.lat, +1.0)
-            x2 = jax.lax.stop_gradient(x2)
-            y2 = jax.lax.stop_gradient(y2)
+            x2 = jax.lax.stop_gradient(wf.to_split(res.x))
+            y2 = jax.lax.stop_gradient(
+                wf.q_hat_clover_fast(fc, x2, self.params, self.lat, +1.0)
+            )
 
             def surrogate(uu):
                 ug_e, ug_o, moo, mee_inv = wf.split_clover_pair(
@@ -361,9 +483,9 @@ class CloverDetMonomial:
                 return -2.0 * wf.dot_re_f64_split(y2, qx)
 
             g = jax.grad(surrogate)(u)
-            return ta_force_from_grad(u, g)
+            return ta_force_from_grad(u, g), res.hist, res.iterations
         _, qplus = _clover_ops(u, self.params, self.lat)
-        x = _solve_qsw(u, phi, self.params, self.lat, self.force_tol, self.maxiter).x
+        x = res.x
         y = qplus(x, +1.0)
         x = jax.lax.stop_gradient(x)
         y = jax.lax.stop_gradient(y)
@@ -373,7 +495,7 @@ class CloverDetMonomial:
             return -2.0 * dot_re_f64(y, qplus_u(x, +1.0))
 
         g = jax.grad(surrogate)(u)
-        return ta_force_from_grad(u, g)
+        return ta_force_from_grad(u, g), res.hist, res.iterations
 
 
 @dataclasses.dataclass(frozen=True)
@@ -423,6 +545,8 @@ class CloverDetRatioMonomial:
     acc_tol: float = 1e-8
     force_tol: float = 1e-7
     maxiter: int = 1000
+    solver: str = "auto"
+    chrono_n: int = 3
     name: str = "cloverdetratio"
 
     def __post_init__(self):
@@ -458,19 +582,30 @@ class CloverDetRatioMonomial:
         phi = cg(mv2, b2, tol=self.acc_tol, maxiter=self.maxiter).x
         return phi, norm_sq_f64(eta)
 
+    def chrono_init_state(self):
+        return _chrono_state(self.lat, self.chrono_n)
+
     def action(self, u, phi):
         return self.action_info(u, phi)[0]
 
-    def action_info(self, u, phi):
+    def action_info(self, u, phi, hist=None):
         _, qplus = self._ops(u)
         psi = qplus(phi, self.params2, +1.0)
-        res = _solve_qsw(u, psi, self.params1, self.lat, self.acc_tol, self.maxiter)
+        res = _solve_qsw(
+            u, psi, self.params1, self.lat, self.acc_tol, self.maxiter, self.solver, hist
+        )
         return dot_re_f64(psi, res.x), res.iterations
 
     def force(self, u, phi):
+        return self.force_chrono(u, phi, None)[0]
+
+    def force_chrono(self, u, phi, hist):
         _, qplus = self._ops(u)
         psi = qplus(phi, self.params2, +1.0)
-        x = _solve_qsw(u, psi, self.params1, self.lat, self.force_tol, self.maxiter).x
+        res = _solve_qsw(
+            u, psi, self.params1, self.lat, self.force_tol, self.maxiter, self.solver, hist
+        )
+        x = res.x
         y = qplus(x, self.params1, +1.0)
         phi_s = jax.lax.stop_gradient(phi)
         x = jax.lax.stop_gradient(x)
@@ -483,4 +618,4 @@ class CloverDetRatioMonomial:
             return 2.0 * dot_re_f64(x, t2) - 2.0 * dot_re_f64(y, t1)
 
         g = jax.grad(surrogate)(u)
-        return ta_force_from_grad(u, g)
+        return ta_force_from_grad(u, g), res.hist, res.iterations

@@ -401,29 +401,34 @@ def _binom_coeffs(p: float, n: int) -> np.ndarray:
 
 
 def _apply_z(mono, u, v, tol):
-    """Z v = Q^2 R(Q^2)^2 v (two multishifts + one Q^2 apply)."""
+    """(Z v, solver iterations): Z = Q^2 R(Q^2)^2 (two multishifts + one
+    Q^2 apply); the iteration count is summed over both solves."""
     rat = mono.rat
 
     def r_apply(w_):
-        xs = mono._mms(u, w_, rat.sigma, tol)
+        xs, its = mono._mms_info(u, w_, rat.sigma, tol)
         out = jnp.zeros_like(w_)
         for j in range(rat.order):
             out = out + jnp.asarray(rat.rho[j], w_.real.dtype) * xs[j]
-        return out
+        return out, its
 
-    rr = r_apply(r_apply(v))
-    return mono._q(u, mono._q(u, rr))
+    r1, it1 = r_apply(v)
+    rr, it2 = r_apply(r1)
+    return mono._q(u, mono._q(u, rr)), it1 + it2
 
 
 def _apply_z_pow(mono, u, v, p: float, n_terms: int, tol):
-    """(Z)^p v by the binomial series in (Z - 1)."""
+    """((Z)^p v, total solver iterations) by the binomial series in (Z-1)."""
     coeffs = _binom_coeffs(p, n_terms)
     acc = v
     term = v
+    its = jnp.asarray(0, jnp.int32)
     for k in range(1, n_terms + 1):
-        term = _apply_z(mono, u, term, tol) - term
+        zv, it_k = _apply_z(mono, u, term, tol)
+        term = zv - term
+        its = its + it_k
         acc = acc + jnp.asarray(coeffs[k], v.real.dtype) * term
-    return acc
+    return acc, its
 
 
 class _RatCorMixin:
@@ -436,17 +441,16 @@ class _RatCorMixin:
 
     def heatbath(self, u, key):
         eta = rng.normal_spinor(key, self._eta_shape(), u.dtype)
-        phi = _apply_z_pow(self, u, eta, +0.25, self.n_terms, self.acc_tol)
+        phi, _ = _apply_z_pow(self, u, eta, +0.25, self.n_terms, self.acc_tol)
         return phi, norm_sq_f64(eta)
 
     def action(self, u, phi):
         return self.action_info(u, phi)[0]
 
     def action_info(self, u, phi):
-        w_ = _apply_z_pow(self, u, phi, -0.5, self.n_terms, self.acc_tol)
-        # iterations: one representative multishift (the acceptance logs of
-        # the reference report the solver iterations of the last solve)
-        _, iters = self._mms_info(u, phi, self.rat.sigma, self.acc_tol)
+        # iterations: total multishift iterations of the series application
+        # (no extra solve burned just for the log)
+        w_, iters = _apply_z_pow(self, u, phi, -0.5, self.n_terms, self.acc_tol)
         return dot_re_f64(phi, w_), iters
 
     def force(self, u, phi):

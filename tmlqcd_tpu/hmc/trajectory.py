@@ -48,6 +48,8 @@ class TrajectoryStats(NamedTuple):
     h_old: jax.Array
     h_new: jax.Array
     acc_iterations: jax.Array  # [n_monomials] i32 (0 where no solve)
+    force_iterations: jax.Array  # [n_monomials] i32 summed MD force-solve
+    # iterations (0 for monomials without chrono-tracked solves)
 
 
 def _heatbaths(cfg: HMCConfig, u, key):
@@ -60,6 +62,17 @@ def _heatbaths(cfg: HMCConfig, u, key):
     return aux_list, s_old
 
 
+def _chrono_states(cfg: HMCConfig):
+    """Per-monomial chronological-guess histories (None where unsupported
+    or disabled) — the csg_field warm state of the reference, rebuilt fresh
+    each trajectory (it is warm-start state only, not part of the Markov
+    chain; reference: chrono history is also reset on config changes)."""
+    return tuple(
+        m.chrono_init_state() if hasattr(m, "chrono_init_state") else None
+        for m in cfg.monomials
+    )
+
+
 def hmc_trajectory(cfg: HMCConfig, u: jax.Array, key: jax.Array):
     """(U, key) -> (U', TrajectoryStats). Jit with cfg static:
     ``jax.jit(hmc_trajectory, static_argnums=0)`` or close over cfg."""
@@ -69,13 +82,20 @@ def hmc_trajectory(cfg: HMCConfig, u: jax.Array, key: jax.Array):
     aux_list, s_old = _heatbaths(cfg, u, k_pf)
     h_old = su3.kinetic_energy(p) + s_old
 
-    u_new, p_new = integrate(cfg.integrator, cfg.monomials, aux_list, u, p)
+    ch0 = _chrono_states(cfg)
+    u_new, p_new, ch, force_iters = integrate(
+        cfg.integrator, cfg.monomials, aux_list, u, p, chrono=ch0
+    )
 
     s_new = jnp.asarray(0.0, jnp.float64)
     iters = []
     for i, m in enumerate(cfg.monomials):
         if hasattr(m, "action_info"):
-            s_i, it_i = m.action_info(u_new, aux_list[i])
+            if hasattr(m, "chrono_init_state"):
+                # seed the acceptance solve with the MD-end chrono guess
+                s_i, it_i = m.action_info(u_new, aux_list[i], ch[i])
+            else:
+                s_i, it_i = m.action_info(u_new, aux_list[i])
         else:
             s_i, it_i = m.action(u_new, aux_list[i]), jnp.asarray(0, jnp.int32)
         s_new = s_new + s_i
@@ -94,6 +114,7 @@ def hmc_trajectory(cfg: HMCConfig, u: jax.Array, key: jax.Array):
         h_old=h_old,
         h_new=h_new,
         acc_iterations=jnp.stack(iters),
+        force_iterations=force_iters,
     )
     return u_out, stats
 

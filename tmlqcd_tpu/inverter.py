@@ -39,6 +39,31 @@ class InvertResult:
     residual_sq: jax.Array  # normal-equation residual of the odd solve
 
 
+def make_deflation_setup(
+    u: jax.Array,
+    params: w.DiracParams,
+    lat: Lattice,
+    n_vectors: int = 8,
+    blocks: tuple[int, int, int] = (2, 2, 2),
+    key=None,
+    **kw,
+):
+    """Build the 2-level deflation/MG setup for Mhat(params) ONCE per gauge
+    configuration; pass it to `invert_eo(solver='dflfgmres',
+    deflation_setup=...)` and reuse across sources (reference: the
+    DDalphaAMG_interface.c setup/update lifecycle + dfl_projector.c,
+    survey §2.6)."""
+    from tmlqcd_tpu.solvers.deflation import setup_deflation
+
+    ueo = pack_gauge_eo(u, lat)
+    ph = w.boundary_phases(params, lat)
+    mv = lambda x: w.m_hat(ueo, x, params, lat, ph, +1.0)
+    if key is None:
+        key = jax.random.key(4242)
+    shape = (4, 3) + lat.eo_site_shape
+    return setup_deflation(mv, shape, key, n_vectors=n_vectors, blocks=blocks, **kw)
+
+
 def invert_eo(
     u: jax.Array,
     b: jax.Array,
@@ -47,9 +72,12 @@ def invert_eo(
     tol: float = 1e-10,
     maxiter: int = 5000,
     solver: str = "cg",
+    deflation_setup=None,
 ) -> InvertResult:
     """Solve M(params) x = b (full lattice) for the twisted-mass Wilson
-    operator (reference: invert_eo.c).  solver: 'cg' | 'mixedcg'."""
+    operator (reference: invert_eo.c).  solver: 'cg' | 'mixedcg' | 'fastcg'
+    | 'fastmixed' | 'dflfgmres' | 'dflgcr' (2-level-MG-preconditioned
+    flexible Krylov on Mhat directly — the DDalphaAMG path of config 4)."""
     ueo = pack_gauge_eo(u, lat)
     ph = w.boundary_phases(params, lat)
     kappa = jnp.asarray(params.kappa, b.real.dtype)
@@ -62,7 +90,26 @@ def invert_eo(
     qpm = lambda x: w.q_hat_pm(ueo, x, params, lat, ph)
     rhs = w.q_hat(ueo, apply_gamma5(bhat), params, lat, ph, -1.0)
 
-    if solver in ("fastcg", "fastmixed"):
+    if solver in ("dflfgmres", "dflgcr", "dfl"):
+        # MG-preconditioned flexible Krylov on the NON-squared Mhat — the
+        # point of multigrid is avoiding the normal equations' squared
+        # condition number at light quark mass (reference: invert routes
+        # ExternalInverter=ddalphaamg solves on D, not on Q^2).
+        from tmlqcd_tpu.solvers.deflation import vcycle
+        from tmlqcd_tpu.solvers.krylov import fgmres, gcr
+
+        mv = lambda x: w.m_hat(ueo, x, params, lat, ph, +1.0)
+        setup = deflation_setup
+        if setup is None:
+            setup = make_deflation_setup(u, params, lat)
+        kry = gcr if solver == "dflgcr" else fgmres
+        restart = 20
+        res = kry(
+            mv, bhat, precond=lambda r: vcycle(setup, mv, r),
+            tol=tol, restart=restart, max_restarts=max(maxiter // restart, 1),
+        )
+        x_o, iters, rsq = res.x, res.iterations, res.residual_sq
+    elif solver in ("fastcg", "fastmixed"):
         # production TPU path: CG iterates on split-f32 fields with the
         # Pallas dslash (ops/wilson_fast); CG's f64-accumulated dots are
         # plain real sums over the leading re/im axis.  'fastmixed' runs

@@ -120,6 +120,16 @@ def latest_checkpoint(run_dir: str) -> CheckpointInfo | None:
     return CheckpointInfo(traj, path, seed)
 
 
+def checkpoint_at(run_dir: str, trajectory: int) -> CheckpointInfo | None:
+    """Find the checkpoint for a specific trajectory index (reference:
+    InitialStoreCounter = N loads conf.NNNN instead of the nstore file)."""
+    for ext in ("npz", "lime"):
+        path = os.path.join(run_dir, f"conf.{trajectory:06d}.{ext}")
+        if os.path.exists(path):
+            return CheckpointInfo(trajectory, path, 0)
+    return None
+
+
 def load_checkpoint(path: str, expect_lat: Lattice | None = None):
     """Load a native or ILDG checkpoint -> (gauge numpy, trajectory, seed)."""
     if path.endswith(".npz"):

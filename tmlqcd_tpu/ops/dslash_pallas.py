@@ -55,6 +55,7 @@ __all__ = [
     "hopping_pallas",
     "hopping_pallas_split",
     "hopping_pallas_tshard",
+    "hopping_pallas_shard",
 ]
 
 # W[mu][fb]: 4x2 halfspinor maps with entries in {0, +-1, +-i}:
@@ -180,22 +181,11 @@ def _wsum(coeffs, vals_re, vals_im):
     return acc_re, acc_im
 
 
-def _dslash_kernel(p: int, lat: Lattice, mt: int, nmb: int, scale: float,
-                   psi_c_ref, psi_tp_ref, psi_tn_ref, psi_ml_ref, psi_mr_ref,
-                   ug_ref, out_ref):
-    """One (t, m-tile) block of H_{p,q} psi (all 8 directions fused)."""
-    t_idx = pl.program_id(0)
-    m_idx = pl.program_id(1)
-    m0 = m_idx * mt
-
-    cur = psi_c_ref[:, :, :, 0]  # [2,4,3,X,Mt]
-    tprev = psi_tp_ref[:, :, :, 0]
-    tnext = psi_tn_ref[:, :, :, 0]
-    halo_l = psi_ml_ref[:, :, :, 0]
-    halo_r = psi_mr_ref[:, :, :, 0]
-    cat = jnp.concatenate([halo_l, cur, halo_r], axis=-1)
-
-    x_ext = cur.shape[-2]
+def _stencil_accum(p: int, lat: Lattice, mt: int, t_idx, m0, cur, tprev, tnext,
+                   cat, ug_ref):
+    """The 8-direction hopping accumulation for one (t, m) tile -> 4x3
+    component lists (acc_re, acc_im).  Factored so the sharded/overlap
+    kernel variants and the diagonal-fused epilogues share one body."""
     acc_re = [[None] * 3 for _ in range(4)]
     acc_im = [[None] * 3 for _ in range(4)]
 
@@ -243,16 +233,12 @@ def _dslash_kernel(p: int, lat: Lattice, mt: int, nmb: int, scale: float,
                 else:
                     acc_re[s][c] += tr
                     acc_im[s][c] += ti
+    return acc_re, acc_im
 
-    if scale != 1.0:
-        sc = jnp.float32(scale)
-        for s_ in range(4):
-            for c_ in range(3):
-                if acc_re[s_][c_] is not None:
-                    acc_re[s_][c_] = acc_re[s_][c_] * sc
-                    acc_im[s_][c_] = acc_im[s_][c_] * sc
+
+def _stack_out(acc_re, acc_im, x_ext: int, mt: int):
     zero = jnp.zeros((x_ext, mt), jnp.float32)
-    out = jnp.stack(
+    return jnp.stack(
         [
             jnp.stack([jnp.stack([acc_re[s][c] if acc_re[s][c] is not None else zero
                                   for c in range(3)]) for s in range(4)]),
@@ -260,7 +246,247 @@ def _dslash_kernel(p: int, lat: Lattice, mt: int, nmb: int, scale: float,
                                   for c in range(3)]) for s in range(4)]),
         ]
     )
-    out_ref[:, :, :, 0] = out
+
+
+def _apply_epilogue(epi: tuple, scale: float, acc_re, acc_im, psi_o, x_ext: int, mt: int):
+    """Fuse the even/odd diagonal into the kernel epilogue — each fused form
+    saves one elementwise HBM pass per Dirac application (reference: the
+    `_mul_one_pm_imu_inv` / Mtm assembly steps that the C code runs as
+    separate site loops after Hopping_Matrix).
+
+    epi forms (static tuples):
+      ("none",)                          out = scale * H psi
+      ("mee_inv", mutld, sign)           out = scale * Mee(sign)^{-1} (H psi)
+      ("mhat", mutld, sign, k2, g5)      out = [g5] (Mee(sign) psi_o - k2 H psi)
+                                         (psi_o = the original odd input)
+    gamma5 spin signs: (+,+,-,-).
+    """
+    kind = epi[0]
+    if kind == "none":
+        if scale != 1.0:
+            sc = jnp.float32(scale)
+            for s in range(4):
+                for c in range(3):
+                    if acc_re[s][c] is not None:
+                        acc_re[s][c] = acc_re[s][c] * sc
+                        acc_im[s][c] = acc_im[s][c] * sc
+        return _stack_out(acc_re, acc_im, x_ext, mt)
+    zero = jnp.zeros((x_ext, mt), jnp.float32)
+    get = lambda arr, s, c: arr[s][c] if arr[s][c] is not None else zero
+    if kind == "mee_inv":
+        # Mee(sign)^{-1} x = (x - i sign mutld g5 x) / (1 + mutld^2)
+        _, mutld, sign = epi
+        inv = jnp.float32(scale / (1.0 + mutld * mutld))
+        mt_ = jnp.float32(sign * mutld)
+        out_re = [[None] * 3 for _ in range(4)]
+        out_im = [[None] * 3 for _ in range(4)]
+        for s in range(4):
+            gs = 1.0 if s < 2 else -1.0
+            gmt = mt_ * jnp.float32(gs)
+            for c in range(3):
+                xr, xi = get(acc_re, s, c), get(acc_im, s, c)
+                out_re[s][c] = (xr + gmt * xi) * inv
+                out_im[s][c] = (xi - gmt * xr) * inv
+        return _stack_out(out_re, out_im, x_ext, mt)
+    if kind == "mhat":
+        # [g5] (Mee(sign) psi_o - k2 H tmp); Mee(sign) y = y + i sign mutld g5 y
+        _, mutld, sign, k2, g5 = epi
+        mt_ = jnp.float32(sign * mutld)
+        k2_ = jnp.float32(k2)
+        out_re = [[None] * 3 for _ in range(4)]
+        out_im = [[None] * 3 for _ in range(4)]
+        for s in range(4):
+            gs = 1.0 if s < 2 else -1.0
+            gmt = mt_ * jnp.float32(gs)
+            g5s = jnp.float32(gs if g5 else 1.0)
+            for c in range(3):
+                yr = psi_o[0, s, c]
+                yi = psi_o[1, s, c]
+                zr = (yr - gmt * yi) - k2_ * get(acc_re, s, c)
+                zi = (yi + gmt * yr) - k2_ * get(acc_im, s, c)
+                out_re[s][c] = g5s * zr
+                out_im[s][c] = g5s * zi
+        return _stack_out(out_re, out_im, x_ext, mt)
+    raise ValueError(f"unknown epilogue {epi!r}")
+
+
+def _dslash_kernel(p: int, lat: Lattice, mt: int, nmb: int, scale: float,
+                   epi: tuple,
+                   *refs):
+    """One (t, m-tile) block of H_{p,q} psi (all 8 directions fused), with
+    an optional diagonal epilogue fused on the way out."""
+    if epi[0] == "mhat":
+        (psi_c_ref, psi_tp_ref, psi_tn_ref, psi_ml_ref, psi_mr_ref, ug_ref,
+         psi_o_ref, out_ref) = refs
+        psi_o = psi_o_ref[:, :, :, 0]
+    else:
+        (psi_c_ref, psi_tp_ref, psi_tn_ref, psi_ml_ref, psi_mr_ref, ug_ref,
+         out_ref) = refs
+        psi_o = None
+    t_idx = pl.program_id(0)
+    m_idx = pl.program_id(1)
+    m0 = m_idx * mt
+
+    cur = psi_c_ref[:, :, :, 0]  # [2,4,3,X,Mt]
+    tprev = psi_tp_ref[:, :, :, 0]
+    tnext = psi_tn_ref[:, :, :, 0]
+    halo_l = psi_ml_ref[:, :, :, 0]
+    halo_r = psi_mr_ref[:, :, :, 0]
+    cat = jnp.concatenate([halo_l, cur, halo_r], axis=-1)
+
+    x_ext = cur.shape[-2]
+    acc_re, acc_im = _stencil_accum(p, lat, mt, t_idx, m0, cur, tprev, tnext,
+                                    cat, ug_ref)
+    out_ref[:, :, :, 0] = _apply_epilogue(epi, scale, acc_re, acc_im, psi_o,
+                                          x_ext, mt)
+
+
+def _dslash_kernel_tb(p: int, lat: Lattice, mt: int, tb: int, scale: float,
+                      epi: tuple, *refs):
+    """Multi-slab variant: each grid step computes tb consecutive t-slabs,
+    so interior slabs reuse their t-neighbors from VMEM instead of re-reading
+    them from HBM — psi traffic drops from 3x to (tb+2)/tb per site, lifting
+    the bandwidth-roofline design ceiling from 80% (tb=1) to 89% (tb=2) /
+    94% (tb=4).  Layout/semantics otherwise identical to _dslash_kernel."""
+    if epi[0] == "mhat":
+        (psi_c_ref, psi_tlo_ref, psi_thi_ref, psi_ml_ref, psi_mr_ref, ug_ref,
+         psi_o_ref, out_ref) = refs
+    else:
+        (psi_c_ref, psi_tlo_ref, psi_thi_ref, psi_ml_ref, psi_mr_ref, ug_ref,
+         out_ref) = refs
+        psi_o_ref = None
+    t_idx0 = jax.lax.mul(pl.program_id(0), jnp.int32(tb))
+    m_idx = pl.program_id(1)
+    m0 = m_idx * mt
+
+    for j in range(tb):
+        cur = psi_c_ref[:, :, :, j]
+        tprev = psi_c_ref[:, :, :, j - 1] if j > 0 else psi_tlo_ref[:, :, :, 0]
+        tnext = psi_c_ref[:, :, :, j + 1] if j < tb - 1 else psi_thi_ref[:, :, :, 0]
+        cat = jnp.concatenate(
+            [psi_ml_ref[:, :, :, j], cur, psi_mr_ref[:, :, :, j]], axis=-1
+        )
+        t_idx = jax.lax.add(t_idx0, jnp.int32(j))
+        x_ext = cur.shape[-2]
+        acc_re, acc_im = _stencil_accum(
+            p, lat, mt, t_idx, m0, cur, tprev, tnext, cat,
+            _UgSlab(ug_ref, j),
+        )
+        psi_o = psi_o_ref[:, :, :, j] if psi_o_ref is not None else None
+        out_ref[:, :, :, j] = _apply_epilogue(epi, scale, acc_re, acc_im, psi_o,
+                                              x_ext, mt)
+
+
+class _UgSlab:
+    """Adapter so _stencil_accum's `ug_ref[0, d, i, j, 0]` reads resolve to
+    slab j of a width-tb gauge block."""
+
+    def __init__(self, ug_ref, j: int):
+        self._ref = ug_ref
+        self._j = j
+
+    def __getitem__(self, idx):
+        ri, d, i, jj, _t = idx
+        return self._ref[ri, d, i, jj, self._j]
+
+
+@functools.lru_cache(maxsize=64)
+def _build_tb(p: int, lat: Lattice, mt: int, hw: int, tb: int, scale: float,
+              interpret: bool, epi: tuple = ("none",)):
+    """Multi-slab builder: grid (T/tb, M/mt); thin 1-slab t-halo blocks at
+    tb*t -/+ 1 replace the two full t-neighbor block reads of _build."""
+    t_ext, x_ext = lat.dims[0], lat.dims[1]
+    m = lat.m
+    nmb = m // mt
+    assert mt % hw == 0 and m % mt == 0 and hw >= min(lat.zh, mt)
+    assert t_ext % tb == 0 and tb >= 2
+    r = mt // hw
+    nh = nmb * r
+
+    psi_block = (2, 4, 3, tb, x_ext, mt)
+    thalo_block = (2, 4, 3, 1, x_ext, mt)
+    mhalo_block = (2, 4, 3, tb, x_ext, hw)
+    ug_block = (2, 8, 3, 3, tb, x_ext, mt)
+
+    def _mod(a, n: int):
+        return jax.lax.rem(a, jnp.int32(n))
+
+    def _tlo(t):
+        # element position tb*t - 1 (mod T) in 1-slab units
+        return _mod(jax.lax.add(jax.lax.mul(t, jnp.int32(tb)), jnp.int32(t_ext - 1)), t_ext)
+
+    def _thi(t):
+        return _mod(jax.lax.mul(jax.lax.add(t, jnp.int32(1)), jnp.int32(tb)), t_ext)
+
+    specs = [
+        pl.BlockSpec(psi_block, lambda t, j: (t - t, t - t, t - t, t, t - t, j)),
+        pl.BlockSpec(thalo_block, lambda t, j: (t - t, t - t, t - t, _tlo(t), t - t, j)),
+        pl.BlockSpec(thalo_block, lambda t, j: (t - t, t - t, t - t, _thi(t), t - t, j)),
+        pl.BlockSpec(
+            mhalo_block,
+            lambda t, j: (t - t, t - t, t - t, t, t - t, _mod(j * r + (nh - 1), nh)),
+        ),
+        pl.BlockSpec(
+            mhalo_block,
+            lambda t, j: (t - t, t - t, t - t, t, t - t, _mod((j + 1) * r, nh)),
+        ),
+        pl.BlockSpec(ug_block, lambda t, j: (t - t, t - t, t - t, t - t, t, t - t, j)),
+    ]
+    if epi[0] == "mhat":
+        specs.append(
+            pl.BlockSpec(psi_block, lambda t, j: (t - t, t - t, t - t, t, t - t, j))
+        )
+    out_spec = pl.BlockSpec(psi_block, lambda t, j: (t - t, t - t, t - t, t, t - t, j))
+
+    flops_site = 1320
+    sites = lat.volume // 2
+    cost = pl.CostEstimate(
+        flops=flops_site * sites,
+        bytes_accessed=int((576 + (tb + 2) / tb * 96 + 96) * sites),
+        transcendentals=0,
+    )
+    kernel = functools.partial(_dslash_kernel_tb, p, lat, mt, tb, scale, epi)
+    kw = {}
+    if not interpret:
+        import os
+
+        # the default scoped-vmem limit (16 MiB) cuts tb=2 at mt=128/X=32 by
+        # ~0.5 MiB; raise the per-kernel cap (physical VMEM permitting)
+        lim = int(os.environ.get("TMLQCD_TPU_VMEM_LIMIT_MB", "20")) * 2**20
+        kw["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=lim)
+    return pl.pallas_call(
+        kernel,
+        grid=(t_ext // tb, nmb),
+        in_specs=specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((2, 4, 3, t_ext, x_ext, m), jnp.float32),
+        cost_estimate=cost,
+        interpret=interpret,
+        **kw,
+    )
+
+
+def _pick_tb(lat: Lattice, mt: int, hw: int, vmem_budget: int) -> int:
+    """Largest multi-slab factor tb (t-slabs per grid step) that divides T
+    and fits the VMEM budget; 1 = the single-slab kernel.  Bigger tb cuts
+    psi traffic ((tb+2)/tb re-reads) at the cost of tb x the ug block."""
+    import os
+
+    env = os.environ.get("TMLQCD_TPU_TB")
+    if env is not None:
+        return max(int(env), 1)
+    t_ext, x = lat.dims[0], lat.dims[1]
+    # tb=2 measured fastest on v5e at 32^3x64 (1152 vs 1048 GF/s, 81.8%
+    # roofline); tb=4 fits with a raised per-kernel vmem limit but the
+    # 33 MB working set degrades pipelining (891 GF/s) — so auto caps at 2
+    # and larger values are opt-in via TMLQCD_TPU_TB.
+    lim = int(os.environ.get("TMLQCD_TPU_VMEM_LIMIT_MB", "20")) * 2**20
+    tb = 2
+    if t_ext % tb == 0:
+        work = x * mt * ((tb + 2) * 96 + tb * 576 + tb * 96) + 2 * 96 * x * hw * tb
+        if 2 * work <= max(lim, vmem_budget):
+            return tb
+    return 1
 
 
 def _pick_tiles(lat: Lattice, vmem_budget: int) -> tuple[int, int]:
@@ -287,8 +513,9 @@ def _pick_tiles(lat: Lattice, vmem_budget: int) -> tuple[int, int]:
     return (cands[-1], hw) if cands else (m, m)
 
 
-@functools.lru_cache(maxsize=32)
-def _build(p: int, lat: Lattice, mt: int, hw: int, scale: float, interpret: bool):
+@functools.lru_cache(maxsize=64)
+def _build(p: int, lat: Lattice, mt: int, hw: int, scale: float, interpret: bool,
+           epi: tuple = ("none",)):
     t_ext, x_ext = lat.dims[0], lat.dims[1]
     m = lat.m
     nmb = m // mt
@@ -333,6 +560,10 @@ def _build(p: int, lat: Lattice, mt: int, hw: int, scale: float, interpret: bool
             ug_block, lambda t, j: (t - t, t - t, t - t, t - t, t, t - t, j)
         ),
     ]
+    if epi[0] == "mhat":
+        specs.append(
+            pl.BlockSpec(psi_block, lambda t, j: (t - t, t - t, t - t, t, t - t, j))
+        )
     out_spec = pl.BlockSpec(psi_block, lambda t, j: (t - t, t - t, t - t, t, t - t, j))
 
     flops_site = 1320
@@ -343,7 +574,7 @@ def _build(p: int, lat: Lattice, mt: int, hw: int, scale: float, interpret: bool
         transcendentals=0,
     )
 
-    kernel = functools.partial(_dslash_kernel, p, lat, mt, nmb, scale)
+    kernel = functools.partial(_dslash_kernel, p, lat, mt, nmb, scale, epi)
     return pl.pallas_call(
         kernel,
         grid=(t_ext, nmb),
@@ -363,14 +594,21 @@ def hopping_pallas_split(
     mt: int | None = None,
     interpret: bool = False,
     scale: float = 1.0,
+    epi: tuple = ("none",),
+    psi_o: jax.Array | None = None,
 ) -> jax.Array:
-    """(scale * H_{p,q}) psi_q on split-f32 fields.
+    """(scale * H_{p,q}) psi_q on split-f32 fields, optionally with the
+    even/odd diagonal FUSED into the kernel epilogue (see _apply_epilogue —
+    saves the separate elementwise passes of mul_one_pm_imu_inv / the Mtm
+    assembly; reference: tm_operators.c runs those as extra site loops).
 
     ug_p: [2, 8, 3, 3, T, X, M] f32 — gauge_copy()[p] split;
     psi_q: [2, 4, 3, T, X, M] f32.  Returns the same split layout.
     `scale` is a STATIC constant fused into the kernel epilogue — e.g.
     -kappa for operators, or a normalization in back-to-back benchmarks —
     avoiding a separate elementwise HBM pass (+192 B/site).
+    epi=("mhat", mutld, sign, k2, g5) additionally needs `psi_o`, the
+    original same-parity input of the Schur complement.
     """
     import os
 
@@ -382,7 +620,15 @@ def hopping_pallas_split(
         mt = mt_auto
     if mt == lat.m and (lat.m % 128 != 0 or lat.m < 256):
         hw = lat.m
-    call = _build(p, lat, int(mt), int(hw), float(scale), interpret)
+    tb = _pick_tb(lat, int(mt), int(hw), budget)
+    if tb > 1:
+        call = _build_tb(p, lat, int(mt), int(hw), tb, float(scale), interpret,
+                         tuple(epi))
+    else:
+        call = _build(p, lat, int(mt), int(hw), float(scale), interpret, tuple(epi))
+    if epi[0] == "mhat":
+        assert psi_o is not None
+        return call(psi_q, psi_q, psi_q, psi_q, psi_q, ug_p, psi_o)
     return call(psi_q, psi_q, psi_q, psi_q, psi_q, ug_p)
 
 
@@ -451,7 +697,7 @@ def _build_ext(p: int, lat_loc: Lattice, mt: int, hw: int, scale: float, interpr
     ]
     out_spec = pl.BlockSpec(psi_block, lambda t, j: (t - t, t - t, t - t, t, t - t, j))
 
-    kernel = functools.partial(_dslash_kernel, p, lat_loc, mt, nmb, scale)
+    kernel = functools.partial(_dslash_kernel, p, lat_loc, mt, nmb, scale, ("none",))
     return pl.pallas_call(
         kernel,
         grid=(t_loc, nmb),
@@ -552,6 +798,258 @@ def hopping_pallas_tshard(
         ),
         out_specs=P(None, None, None, axis, None, None),
         # pallas_call out_shapes carry no varying-mesh-axes annotation
+        check_vma=False,
+    )(ug_p, psi_q)
+
+
+# ---------------------------------------------------------------------------
+# 2D (t, m)-sharded kernel with interior/surface overlap (reference:
+# Hopping_Matrix non-blocking variants + Hopping_Matrix_nocom — the surface/
+# interior split that overlaps halo comm with interior compute, survey
+# §2.5/§5.7; PARALLELXT-style 2D domain decomposition, survey §2.3)
+# ---------------------------------------------------------------------------
+
+
+def _shard_kernel(p: int, lat_loc: Lattice, scale: float, t_off: int,
+                  psi_c_ref, psi_tp_ref, psi_tn_ref, mh_lo_ref, mh_hi_ref,
+                  ug_ref, out_ref):
+    """One local t-slab with EXPLICIT halos: t-neighbors come from separate
+    block reads (no wrap — halos arrived by ppermute or are local slices),
+    m(y)-halos are separate width-zh arrays.  Single m tile (mt = m_loc)."""
+    t_idx = jax.lax.add(pl.program_id(0), jnp.int32(t_off))
+    cur = psi_c_ref[:, :, :, 0]
+    tprev = psi_tp_ref[:, :, :, 0]
+    tnext = psi_tn_ref[:, :, :, 0]
+    cat = jnp.concatenate([mh_lo_ref[:, :, :, 0], cur, mh_hi_ref[:, :, :, 0]], axis=-1)
+    mt = cur.shape[-1]
+    x_ext = cur.shape[-2]
+    acc_re, acc_im = _stencil_accum(p, lat_loc, mt, t_idx, 0, cur, tprev, tnext,
+                                    cat, ug_ref)
+    out_ref[:, :, :, 0] = _apply_epilogue(("none",), scale, acc_re, acc_im, None,
+                                          x_ext, mt)
+
+
+def _shard_bnd_kernel(p: int, lat_loc: Lattice, scale: float,
+                      psi_c_ref, psi_nb_ref, th_ref, mh_lo_ref, mh_hi_ref,
+                      ug_ref, out_ref):
+    """The two t-boundary slabs (grid index b: 0 = lower edge t=0, 1 = upper
+    edge t=t_loc-1).  One t-neighbor is the ppermuted halo slice (th), the
+    other is the adjacent local slab (psi_nb) — selected by b."""
+    b = pl.program_id(0)
+    t_loc = lat_loc.dims[0]
+    t_idx = jax.lax.mul(b, jnp.int32(t_loc - 1))
+    cur = psi_c_ref[:, :, :, 0]
+    nbr = psi_nb_ref[:, :, :, 0]
+    th = th_ref[:, :, :, 0]
+    is_lo = (b == jnp.int32(0))
+    tprev = jnp.where(is_lo, th, nbr)
+    tnext = jnp.where(is_lo, nbr, th)
+    cat = jnp.concatenate([mh_lo_ref[:, :, :, 0], cur, mh_hi_ref[:, :, :, 0]], axis=-1)
+    mt = cur.shape[-1]
+    x_ext = cur.shape[-2]
+    acc_re, acc_im = _stencil_accum(p, lat_loc, mt, t_idx, 0, cur, tprev, tnext,
+                                    cat, ug_ref)
+    out_ref[:, :, :, 0] = _apply_epilogue(("none",), scale, acc_re, acc_im, None,
+                                          x_ext, mt)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_shard_ext(p: int, lat_loc: Lattice, scale: float, interpret: bool):
+    """Non-overlap sharded call: psi_ext [., t_loc+2, X, m_loc] (t-halos
+    concatenated), mh_lo/mh_hi [., t_loc, X, zh]."""
+    t_loc, x_ext = lat_loc.dims[0], lat_loc.dims[1]
+    m_loc, zh = lat_loc.m, lat_loc.zh
+    psi_block = (2, 4, 3, 1, x_ext, m_loc)
+    mh_block = (2, 4, 3, 1, x_ext, zh)
+    ug_block = (2, 8, 3, 3, 1, x_ext, m_loc)
+    a1 = lambda t: jax.lax.add(t, jnp.int32(1))
+    a2 = lambda t: jax.lax.add(t, jnp.int32(2))
+    specs = [
+        pl.BlockSpec(psi_block, lambda t: (t - t, t - t, t - t, a1(t), t - t, t - t)),
+        pl.BlockSpec(psi_block, lambda t: (t - t, t - t, t - t, t, t - t, t - t)),
+        pl.BlockSpec(psi_block, lambda t: (t - t, t - t, t - t, a2(t), t - t, t - t)),
+        pl.BlockSpec(mh_block, lambda t: (t - t, t - t, t - t, t, t - t, t - t)),
+        pl.BlockSpec(mh_block, lambda t: (t - t, t - t, t - t, t, t - t, t - t)),
+        pl.BlockSpec(ug_block, lambda t: (t - t, t - t, t - t, t - t, t, t - t, t - t)),
+    ]
+    out_spec = pl.BlockSpec(psi_block, lambda t: (t - t, t - t, t - t, t, t - t, t - t))
+    kernel = functools.partial(_shard_kernel, p, lat_loc, scale, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(t_loc,),
+        in_specs=specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((2, 4, 3, t_loc, x_ext, m_loc), jnp.float32),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _build_shard_int(p: int, lat_loc: Lattice, scale: float, interpret: bool):
+    """Interior slabs t = 1 .. t_loc-2: NO dependence on the t-halos, so this
+    call overlaps with the halo ppermutes (the Hopping_Matrix_nocom piece)."""
+    t_loc, x_ext = lat_loc.dims[0], lat_loc.dims[1]
+    m_loc, zh = lat_loc.m, lat_loc.zh
+    assert t_loc >= 3
+    psi_block = (2, 4, 3, 1, x_ext, m_loc)
+    mh_block = (2, 4, 3, 1, x_ext, zh)
+    ug_block = (2, 8, 3, 3, 1, x_ext, m_loc)
+    a1 = lambda t: jax.lax.add(t, jnp.int32(1))
+    a2 = lambda t: jax.lax.add(t, jnp.int32(2))
+    specs = [
+        pl.BlockSpec(psi_block, lambda t: (t - t, t - t, t - t, a1(t), t - t, t - t)),
+        pl.BlockSpec(psi_block, lambda t: (t - t, t - t, t - t, t, t - t, t - t)),
+        pl.BlockSpec(psi_block, lambda t: (t - t, t - t, t - t, a2(t), t - t, t - t)),
+        pl.BlockSpec(mh_block, lambda t: (t - t, t - t, t - t, a1(t), t - t, t - t)),
+        pl.BlockSpec(mh_block, lambda t: (t - t, t - t, t - t, a1(t), t - t, t - t)),
+        pl.BlockSpec(ug_block, lambda t: (t - t, t - t, t - t, t - t, a1(t), t - t, t - t)),
+    ]
+    out_spec = pl.BlockSpec(psi_block, lambda t: (t - t, t - t, t - t, t, t - t, t - t))
+    kernel = functools.partial(_shard_kernel, p, lat_loc, scale, 1)
+    return pl.pallas_call(
+        kernel,
+        grid=(t_loc - 2,),
+        in_specs=specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((2, 4, 3, t_loc - 2, x_ext, m_loc), jnp.float32),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _build_shard_bnd(p: int, lat_loc: Lattice, scale: float, interpret: bool):
+    """The two t-surface slabs (depends on the t-halos; runs after the
+    ppermutes land, concurrently with nothing it needn't wait for)."""
+    t_loc, x_ext = lat_loc.dims[0], lat_loc.dims[1]
+    m_loc, zh = lat_loc.m, lat_loc.zh
+    psi_block = (2, 4, 3, 1, x_ext, m_loc)
+    mh_block = (2, 4, 3, 1, x_ext, zh)
+    ug_block = (2, 8, 3, 3, 1, x_ext, m_loc)
+    edge = lambda b: jax.lax.mul(b, jnp.int32(t_loc - 1))
+    nbr = lambda b: jax.lax.add(jax.lax.mul(b, jnp.int32(t_loc - 3)), jnp.int32(1))
+    specs = [
+        pl.BlockSpec(psi_block, lambda b: (b - b, b - b, b - b, edge(b), b - b, b - b)),
+        pl.BlockSpec(psi_block, lambda b: (b - b, b - b, b - b, nbr(b), b - b, b - b)),
+        pl.BlockSpec(psi_block, lambda b: (b - b, b - b, b - b, b, b - b, b - b)),
+        pl.BlockSpec(mh_block, lambda b: (b - b, b - b, b - b, edge(b), b - b, b - b)),
+        pl.BlockSpec(mh_block, lambda b: (b - b, b - b, b - b, edge(b), b - b, b - b)),
+        pl.BlockSpec(ug_block, lambda b: (b - b, b - b, b - b, b - b, edge(b), b - b, b - b)),
+    ]
+    out_spec = pl.BlockSpec(psi_block, lambda b: (b - b, b - b, b - b, b, b - b, b - b))
+    kernel = functools.partial(_shard_bnd_kernel, p, lat_loc, scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(2,),
+        in_specs=specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((2, 4, 3, 2, x_ext, m_loc), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def hopping_pallas_shard(
+    ug_p: jax.Array,
+    psi_q: jax.Array,
+    p: int,
+    lat: Lattice,
+    mesh,
+    t_axis: str = "t",
+    m_axis: str | None = None,
+    interpret: bool = False,
+    scale: float = 1.0,
+    halfspinor: bool = True,
+    overlap: bool = True,
+) -> jax.Array:
+    """Domain-decomposed H_{p,q}: t over mesh[t_axis] and (optionally) y
+    over mesh[m_axis] — the PARALLELXT analog of the reference's 2D MPI
+    decomposition with the kernel path (not GSPMD) carrying the stencil.
+
+    Halos: t-slice and y-slice exchanges are explicit `ppermute`s
+    (xchange_field analog), spin-projected to 2-spinor halfspinors when
+    `halfspinor` (xchange_halffield analog — half the ICI bytes; lossless:
+    W^+(0.5 W s) = s).  With `overlap`, the kernel is split into an
+    INTERIOR call (t = 1..t_loc-2, independent of the t-halos — XLA
+    schedules it concurrently with the ppermutes: the Hopping_Matrix_nocom
+    + non-blocking xchange overlap of the reference) and a 2-slab SURFACE
+    call consuming the landed halos.
+
+    Constraints: T/tsh even; Y/msh even (global parity masks == local);
+    single m tile per shard (the sharded slab must fit VMEM — shard m more
+    if it doesn't).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    tsh = int(mesh.shape[t_axis])
+    msh = int(mesh.shape[m_axis]) if m_axis is not None else 1
+    t_glob, x_ext, y_glob, z_glob = lat.dims
+    if t_glob % tsh or (t_glob // tsh) % 2:
+        raise ValueError(f"T={t_glob} must split into even slabs over {tsh} shards")
+    if y_glob % msh or (y_glob // msh) % 2:
+        raise ValueError(f"Y={y_glob} must split into even slabs over {msh} shards")
+    lat_loc = Lattice((t_glob // tsh, x_ext, y_glob // msh, z_glob))
+    t_loc, zh = lat_loc.dims[0], lat.zh
+
+    fwd_t = [(i, (i + 1) % tsh) for i in range(tsh)]
+    bwd_t = [(i, (i - 1) % tsh) for i in range(tsh)]
+    fwd_m = [(i, (i + 1) % msh) for i in range(msh)]
+    bwd_m = [(i, (i - 1) % msh) for i in range(msh)]
+
+    wf0, wb0 = _W[0]  # (1 -/+ gamma_0) isometries (t halos)
+    wf2, wb2 = _W[2]  # (1 -/+ gamma_2) isometries (y halos)
+
+    use_split = overlap and t_loc >= 2
+
+    def _exchange(psi_l, axis_name, perm_fwd, perm_bwd, lo_sl, hi_sl, wf_, wb_, active):
+        """(halo_lo, halo_hi): the neighbor slices this shard consumes as
+        its backward/forward neighbors along one axis."""
+        lo_local, hi_local = lo_sl(psi_l), hi_sl(psi_l)
+        if not active:
+            return lo_local, hi_local
+        if halfspinor:
+            s_lo = jax.lax.ppermute(_spin_map_split(wb_.conj().T, lo_local), axis_name, perm_fwd)
+            s_hi = jax.lax.ppermute(_spin_map_split(wf_.conj().T, hi_local), axis_name, perm_bwd)
+            return _spin_map_split(0.5 * wb_, s_lo), _spin_map_split(0.5 * wf_, s_hi)
+        return (
+            jax.lax.ppermute(lo_local, axis_name, perm_fwd),
+            jax.lax.ppermute(hi_local, axis_name, perm_bwd),
+        )
+
+    def local_fn(ug_l, psi_l):
+        mh_lo, mh_hi = _exchange(
+            psi_l, m_axis, fwd_m, bwd_m,
+            lambda x: x[..., -zh:], lambda x: x[..., :zh], wf2, wb2, msh > 1,
+        )
+        th_lo, th_hi = _exchange(
+            psi_l, t_axis, fwd_t, bwd_t,
+            lambda x: x[:, :, :, -1:], lambda x: x[:, :, :, :1], wf0, wb0, True,
+        )
+        if use_split:
+            th = jnp.concatenate([th_lo, th_hi], axis=3)  # [2,4,3,2,X,m_loc]
+            bnd = _build_shard_bnd(p, lat_loc, float(scale), interpret)(
+                psi_l, psi_l, th, mh_lo, mh_hi, ug_l
+            )
+            if t_loc > 2:
+                inner = _build_shard_int(p, lat_loc, float(scale), interpret)(
+                    psi_l, psi_l, psi_l, mh_lo, mh_hi, ug_l
+                )
+                return jnp.concatenate(
+                    [bnd[:, :, :, :1], inner, bnd[:, :, :, 1:]], axis=3
+                )
+            return bnd
+        ext = jnp.concatenate([th_lo, psi_l, th_hi], axis=3)
+        return _build_shard_ext(p, lat_loc, float(scale), interpret)(
+            ext, ext, ext, mh_lo, mh_hi, ug_l
+        )
+
+    mspec = m_axis
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, None, None, t_axis, None, mspec),
+            P(None, None, None, t_axis, None, mspec),
+        ),
+        out_specs=P(None, None, None, t_axis, None, mspec),
         check_vma=False,
     )(ug_p, psi_q)
 

@@ -36,6 +36,11 @@ class FastGauge:
     ug_odd: jax.Array
 
 
+jax.tree_util.register_dataclass(
+    FastGauge, data_fields=["ug_even", "ug_odd"], meta_fields=[]
+)
+
+
 def make_fast_gauge(
     u: jax.Array, params: DiracParams, lat: Lattice, sloppy: bool = False
 ) -> FastGauge:
@@ -91,21 +96,33 @@ def _interpret() -> bool:
 
 
 def m_hat_fast(
-    fg: FastGauge, psi2_o: jax.Array, params: DiracParams, lat: Lattice, sign: float = +1.0
+    fg: FastGauge, psi2_o: jax.Array, params: DiracParams, lat: Lattice,
+    sign: float = +1.0, g5: bool = False,
 ) -> jax.Array:
-    """Mhat(+-) on odd sites, split layout (reference: Mtm_plus_psi)."""
+    """Mhat(+-) on odd sites, split layout (reference: Mtm_plus_psi).
+
+    Both the Mee^{-1} diagonal and the final Mee(psi) - k^2 H tmp assembly
+    (plus the optional gamma5 of Qhat) are FUSED into the two hopping
+    kernels' epilogues — the whole Schur complement is exactly two kernel
+    launches with zero extra elementwise HBM passes (the reference runs
+    mul_one_pm_imu_inv and the Mtm assembly as separate site loops)."""
     interp = _interpret()
-    k2 = jnp.float32(params.kappa * params.kappa)
-    tmp = dp.hopping_pallas_split(fg.ug_even, psi2_o, EVEN, lat, interpret=interp)
-    tmp = _mee_inv_split(tmp, params.mutld, sign)
-    tmp = dp.hopping_pallas_split(fg.ug_odd, tmp, ODD, lat, interpret=interp)
-    return _mee_split(psi2_o, params.mutld, sign) - k2 * tmp
+    tmp = dp.hopping_pallas_split(
+        fg.ug_even, psi2_o, EVEN, lat, interpret=interp,
+        epi=("mee_inv", float(params.mutld), float(sign)),
+    )
+    return dp.hopping_pallas_split(
+        fg.ug_odd, tmp, ODD, lat, interpret=interp,
+        epi=("mhat", float(params.mutld), float(sign),
+             float(params.kappa * params.kappa), bool(g5)),
+        psi_o=psi2_o,
+    )
 
 
 def q_hat_fast(
     fg: FastGauge, psi2_o: jax.Array, params: DiracParams, lat: Lattice, sign: float = +1.0
 ) -> jax.Array:
-    return _gamma5(m_hat_fast(fg, psi2_o, params, lat, sign))
+    return m_hat_fast(fg, psi2_o, params, lat, sign, g5=True)
 
 
 def q_hat_pm_fast(
@@ -115,6 +132,55 @@ def q_hat_pm_fast(
     (reference: Qtm_pm_psi)."""
     tmp = q_hat_fast(fg, psi2_o, params, lat, +1.0)
     return q_hat_fast(fg, tmp, params, lat, -1.0)
+
+
+# ---------------------------------------------------------------------------
+# Domain-decomposed operators on the sharded kernel path (reference: the
+# MPI-decomposed Hopping_Matrix inside every CG iteration, survey §3.3 —
+# here each shard runs the Mosaic kernel on its (t, y)-slab and the halos
+# ride two ppermutes per hop, overlapped with the interior stencil)
+# ---------------------------------------------------------------------------
+
+
+def m_hat_fast_shard(
+    fg: FastGauge,
+    psi2_o: jax.Array,
+    params: DiracParams,
+    lat: Lattice,
+    mesh,
+    t_axis: str = "t",
+    m_axis: str | None = None,
+    sign: float = +1.0,
+    g5: bool = False,
+    halfspinor: bool = True,
+    overlap: bool = True,
+) -> jax.Array:
+    """Mhat(+-) with both hops on the domain-decomposed Pallas kernel
+    (hopping_pallas_shard); the elementwise diagonals run under GSPMD on
+    the sharded arrays (no resharding — every op is slab-local)."""
+    interp = _interpret()
+    k2 = jnp.float32(params.kappa * params.kappa)
+    hop = lambda ug, x, p: dp.hopping_pallas_shard(
+        ug, x, p, lat, mesh, t_axis=t_axis, m_axis=m_axis,
+        interpret=interp, halfspinor=halfspinor, overlap=overlap,
+    )
+    tmp = hop(fg.ug_even, psi2_o, EVEN)
+    tmp = _mee_inv_split(tmp, params.mutld, sign)
+    tmp = hop(fg.ug_odd, tmp, ODD)
+    out = _mee_split(psi2_o, params.mutld, sign) - k2 * tmp
+    return _gamma5(out) if g5 else out
+
+
+def q_hat_pm_fast_shard(
+    fg: FastGauge, psi2_o: jax.Array, params: DiracParams, lat: Lattice, mesh,
+    t_axis: str = "t", m_axis: str | None = None,
+    halfspinor: bool = True, overlap: bool = True,
+) -> jax.Array:
+    """Qhat_pm on the sharded kernel path — the multi-chip production CG
+    operator (reference: Qtm_pm_psi under MPI decomposition)."""
+    kw = dict(t_axis=t_axis, m_axis=m_axis, halfspinor=halfspinor, overlap=overlap)
+    tmp = m_hat_fast_shard(fg, psi2_o, params, lat, mesh, sign=+1.0, g5=True, **kw)
+    return m_hat_fast_shard(fg, tmp, params, lat, mesh, sign=-1.0, g5=True, **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -206,13 +272,25 @@ class FastClover:
     mee_inv_m: jax.Array
 
 
-def make_fast_clover(u: jax.Array, params: DiracParams, lat: Lattice) -> FastClover:
+jax.tree_util.register_dataclass(
+    FastClover,
+    data_fields=["fg", "moo_p", "moo_m", "mee_inv_p", "mee_inv_m"],
+    meta_fields=[],
+)
+
+
+def make_fast_clover(
+    u: jax.Array, params: DiracParams, lat: Lattice, sloppy: bool = False
+) -> FastClover:
+    """sloppy=True stores the gathered links in bfloat16 (the dominant HBM
+    stream of Qsw_pm); the clover blocks stay f32 — the low operator of the
+    mixed solvers only needs enough accuracy to contract the defect."""
     from tmlqcd_tpu.ops import clover as cl
 
     sw_e, sw_o = cl.sw_blocks_eo(u, params.kappa, params.c_sw, lat)
     sp = lambda x: dp.split_c(x).astype(jnp.float32)
     return FastClover(
-        fg=make_fast_gauge(u, params, lat),
+        fg=make_fast_gauge(u, params, lat, sloppy=sloppy),
         moo_p=sp(cl.mee_blocks(sw_o, params.mutld, +1.0)),
         moo_m=sp(cl.mee_blocks(sw_o, params.mutld, -1.0)),
         mee_inv_p=sp(cl.mee_inv_blocks(sw_e, params.mutld, +1.0)),
@@ -297,6 +375,13 @@ class FastCloverND:
     minv_b: jax.Array
     minv_e: jax.Array
     epsbar_t: float
+
+
+jax.tree_util.register_dataclass(
+    FastCloverND,
+    data_fields=["fg", "moo_u", "moo_d", "minv_a", "minv_b", "minv_e"],
+    meta_fields=["epsbar_t"],
+)
 
 
 def make_fast_clover_nd(u: jax.Array, params, lat: Lattice) -> FastCloverND:

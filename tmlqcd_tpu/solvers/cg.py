@@ -88,7 +88,15 @@ def cg(
     return CGResult(x=x, iterations=k, residual_sq=rs)
 
 
-def cg_info(*args, **kwargs):
-    """cg + per-call true-residual check (diagnostic wrapper)."""
-    res = cg(*args, **kwargs)
-    return res
+def cg_info(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    **kwargs,
+) -> tuple[CGResult, jax.Array]:
+    """cg + the TRUE residual |b - A x|^2 recomputed from the returned
+    solution (diagnostic wrapper; the iterated CG residual drifts from the
+    true one in finite precision — reference: the final true-residual
+    printout of cg_her at g_debug_level > 0)."""
+    res = cg(matvec, b, **kwargs)
+    true_rsq = _norm_sq(b - matvec(res.x))
+    return res, true_rsq

@@ -30,7 +30,26 @@ def _cg(matvec, b, tol, maxiter, **kw):
 def _mixedcg(matvec, b, tol, maxiter, **kw):
     from tmlqcd_tpu.solvers.mixed_cg import mixed_cg
 
-    r = mixed_cg(matvec, b, tol=tol, max_inner=maxiter, matvec_lo=kw.get("matvec_lo"))
+    import jax.numpy as jnp
+
+    r = mixed_cg(matvec, b, tol=tol, max_inner=maxiter,
+                 matvec_lo=kw.get("matvec_lo"),
+                 lo_dtype=kw.get("lo_dtype", jnp.complex64),
+                 x0=kw.get("x0"),
+                 inner_tol=kw.get("inner_tol", 1e-2))
+    return r.x, r.inner_iterations, r.residual_sq
+
+
+def _rgmixedcg(matvec, b, tol, maxiter, **kw):
+    from tmlqcd_tpu.solvers.mixed_cg import rg_mixed_cg
+
+    import jax.numpy as jnp
+
+    r = rg_mixed_cg(matvec, b, tol=tol, maxiter=maxiter,
+                    matvec_lo=kw.get("matvec_lo"),
+                    lo_dtype=kw.get("lo_dtype", jnp.complex64),
+                    x0=kw.get("x0"),
+                    delta=kw.get("delta", 0.01))
     return r.x, r.inner_iterations, r.residual_sq
 
 
@@ -80,6 +99,7 @@ def _dfl(matvec, b, tol, maxiter, **kw):
 SOLVERS: dict[str, Callable] = {
     "cg": _cg,
     "mixedcg": _mixedcg,
+    "rgmixedcg": _rgmixedcg,
     "bicgstab": _bicgstab,
     "fgmres": _fgmres,
     "gmres": _fgmres,
