@@ -94,3 +94,55 @@ def test_checkpoint_ildg_format(tmp_path):
     u2, traj, _ = load_checkpoint(info.path, LAT)
     np.testing.assert_array_equal(u, u2)
     assert traj == 3
+
+
+def test_ildg_frozen_known_answer():
+    """Frozen byte-vector lock on the ILDG format (VERDICT r1 weak #9): a
+    committed tiny configuration with analytically-defined (exact dyadic
+    rational) link entries.  Guards byte order (big-endian), site ordering
+    (t slowest / x fastest within [T,Z,Y,X]), ILDG mu order, f64 payload
+    layout, and the site-rotated SciDAC checksum against regressions.  The
+    expected constants were computed once at freeze time; real external
+    interop remains unverifiable while the reference mount is empty."""
+    import hashlib
+
+    from tmlqcd_tpu.io import ildg
+    from tmlqcd_tpu.io.lime import read_lime
+
+    path = os.path.join(os.path.dirname(__file__), "data", "frozen_2x2x2x2.lime")
+    lat = Lattice((2, 2, 2, 2))
+    t, x, y, z = lat.dims
+    u = np.zeros((3, 3, 4, t, x, y * z), np.complex128)
+    for a in range(3):
+        for b in range(3):
+            for mu in range(4):
+                for tt in range(t):
+                    for xx in range(x):
+                        for m in range(y * z):
+                            re = ((a * 7 + b * 5 + mu * 3 + tt * 11 + xx * 13 + m * 17) % 64 - 32) / 64.0
+                            im = ((a * 2 + b * 9 + mu * 6 + tt * 4 + xx * 8 + m * 10) % 64 - 32) / 64.0
+                            u[a, b, mu, tt, xx, m] = re + 1j * im
+
+    # 1. the committed file reads back to exactly the analytic field
+    u_read, hdr = ildg.read_gauge_field(path, lat)
+    np.testing.assert_array_equal(np.asarray(u_read), u)
+    assert hdr.trajectory == 7
+
+    # 2. frozen payload bytes + checksum (suma == sumb is expected at 16
+    #    sites: rank%29 == rank%31 for rank < 29)
+    recs = {r.type: r.data for r in read_lime(path)}
+    payload = recs["ildg-binary-data"]
+    assert hashlib.sha256(payload).hexdigest() == (
+        "5a9c65406d6fc1282149a930c9de6dbd2bf1b82a406fe0ef767c9a40f4050cee"
+    )
+    assert b"<suma>94440bf6</suma><sumb>94440bf6</sumb>" in recs["scidac-checksum"]
+
+    # 3. re-serializing today reproduces the frozen payload byte-for-byte
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p2 = os.path.join(d, "rewrite.lime")
+        ildg.write_gauge_field(p2, u, lat, precision=64, trajectory=7)
+        recs2 = {r.type: r.data for r in read_lime(p2)}
+        assert recs2["ildg-binary-data"] == payload
+        assert recs2["scidac-checksum"] == recs["scidac-checksum"]

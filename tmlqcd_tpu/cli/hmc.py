@@ -16,11 +16,31 @@ from __future__ import annotations
 import argparse
 import functools
 import os
+import signal
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+class _GracefulStop:
+    """Signal -> finish the current trajectory, checkpoint, exit cleanly
+    (reference: sighandler.c — queue preemption triggers a clean stop so no
+    work is lost between NSave points; survey §5.3)."""
+
+    def __init__(self):
+        self.stop = False
+        for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGUSR1):
+            try:
+                signal.signal(sig, self._handler)
+            except (ValueError, OSError):  # pragma: no cover (non-main thread)
+                pass
+
+    def _handler(self, signum, frame):
+        print(f"[hmc] caught signal {signum}: will checkpoint and stop "
+              f"after the current trajectory", flush=True)
+        self.stop = True
 
 
 def main(argv=None):
@@ -95,8 +115,10 @@ def main(argv=None):
     out = open(out_path, "a", buffering=1)
 
     monitor_every = 10  # reference: monitor_forces at DebugLevel >= 2
+    stopper = _GracefulStop()
 
     n_acc = 0
+    traj = start_traj - 1
     for traj in range(start_traj, start_traj + cfg.measurements):
         t0 = time.perf_counter()
         u, st = step(u, jax.random.fold_in(key, traj + 1))
@@ -139,7 +161,11 @@ def main(argv=None):
             print(f"[traj {traj}] reversibility: |ddH|={float(ddh):.3e} "
                   f"max|dU|={float(du):.3e}")
 
-        if (traj + 1) % cfg.nsave == 0 or traj == start_traj + cfg.measurements - 1:
+        if (
+            (traj + 1) % cfg.nsave == 0
+            or traj == start_traj + cfg.measurements - 1
+            or stopper.stop
+        ):
             path = save_checkpoint(
                 run_dir, u, traj + 1, cfg.seed, lat,
                 fmt=cfg.checkpoint_format, plaquette=float(st.plaquette),
@@ -148,8 +174,13 @@ def main(argv=None):
             if cfg.debug_level >= 1:
                 print(f"[traj {traj}] checkpoint -> {path}")
 
+        if stopper.stop:
+            print(f"[hmc] graceful stop after trajectory {traj} "
+                  f"(resume with StartCondition = continue)")
+            break
+
     out.close()
-    total = cfg.measurements
+    total = traj - start_traj + 1
     print(f"[hmc] done: {total} trajectories, acceptance {n_acc/max(total,1):.2%}")
     return 0
 
