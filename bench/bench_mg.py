@@ -1,0 +1,162 @@
+"""Light-quark solver benchmark: 2-level-MG-preconditioned FGMRES vs CG.
+
+Reference: the DDalphaAMG production use case (survey §2.6, BASELINE
+config 4 "multigrid-preconditioned solver") — at light quark mass the
+normal-equation CG iteration count blows up with the squared condition
+number while the MG-preconditioned solve on Mhat stays flat.  This harness
+demonstrates the crossover end-to-end through `invert_eo`:
+
+  1. thermalize a quenched gauge configuration (smooth background with a
+     low-mode tail, unlike a random hot start),
+  2. solve a point source at a light twisted mass with solver='cg' and
+     solver='dflfgmres' (setup built ONCE, reused across sources),
+  3. report wall time per solve (setup amortized) + iteration counts.
+
+Runs on the CPU backend by default (the deflation little-op/Krylov path
+uses complex128 accumulators, unsupported on TPU); both solvers run on the
+same backend so the wall-time comparison is apples-to-apples.
+
+Usage: python bench/bench_mg.py [--dims 8 8 8 16] [--kappa K] [--sources N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def main(argv=None):
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from tmlqcd_tpu import su3
+    from tmlqcd_tpu.hmc import hmc_trajectory
+    from tmlqcd_tpu.inverter import invert_eo, make_deflation_setup
+    from tmlqcd_tpu.lattice import Lattice
+    from tmlqcd_tpu.meas.sources import point_source
+    from tmlqcd_tpu.models.suites import pure_gauge
+    from tmlqcd_tpu.ops.wilson import DiracParams
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dims", type=int, nargs=4, default=[8, 8, 8, 16])
+    ap.add_argument("--beta", type=float, default=6.0)
+    ap.add_argument("--therm", type=int, default=40)
+    ap.add_argument("--kappa", type=float, default=None)
+    ap.add_argument("--mu", type=float, default=0.001)
+    ap.add_argument("--tol", type=float, default=1e-8)
+    ap.add_argument("--sources", type=int, default=4)
+    ap.add_argument("--nvec", type=int, default=12)
+    ap.add_argument("--target-iters", type=int, default=600)
+    args = ap.parse_args(argv)
+
+    lat = Lattice(tuple(args.dims))
+    cfg = pure_gauge(lat, beta=args.beta, tau=1.0, steps=8)
+    step = jax.jit(functools.partial(hmc_trajectory, cfg))
+    u = su3.random_su3(jax.random.key(0), (4,) + lat.site_shape, jnp.complex64)
+    t0 = time.perf_counter()
+    for i in range(args.therm):
+        u, st = step(u, jax.random.key(100 + i))
+    jax.block_until_ready(u)
+    print(f"# thermalized {args.therm} quenched trajectories "
+          f"(plaq={float(st.plaquette):.4f}, {time.perf_counter()-t0:.0f}s)",
+          file=sys.stderr)
+
+    # pick kappa: walk toward kappa_c until CG needs >300 iterations
+    def cg_iters(kappa):
+        p = DiracParams(kappa=kappa, mu=args.mu)
+        src = point_source(lat, 0, 0, (0, 0, 0, 0), jnp.complex64)
+        r = invert_eo(u, src, p, lat, tol=args.tol, maxiter=4000, solver="cg")
+        return int(r.iterations), r
+
+    if args.kappa is None:
+        # walk toward (and past) the critical kappa of THIS configuration
+        # until the normal-equation CG genuinely struggles — that is the
+        # light-quark regime where MG pays off
+        kappa = 0.125
+        while kappa < 0.40:
+            n, _ = cg_iters(kappa)
+            print(f"# kappa={kappa:.4f}: cg iters={n}", file=sys.stderr)
+            if n >= args.target_iters:
+                break
+            step_k = 0.01 if n < 100 else 0.005 if n < 300 else 0.002
+            kappa = round(kappa + step_k, 4)
+    else:
+        kappa = args.kappa
+    params = DiracParams(kappa=kappa, mu=args.mu)
+
+    srcs = [
+        point_source(lat, s, c, (0, 0, 0, 0), jnp.complex64)
+        for s, c in [(0, 0), (1, 1), (2, 2), (3, 0)][: args.sources]
+    ]
+
+    # --- CG baseline: the jitted production serving path (compile excluded)
+    solve_cg = jax.jit(
+        lambda u_, s_: invert_eo(u_, s_, params, lat, tol=args.tol,
+                                 maxiter=8000, solver="cg")
+    )
+    jax.block_until_ready(solve_cg(u, srcs[0]).x)
+    sol_cg = []
+    t0 = time.perf_counter()
+    for src in srcs:
+        r = solve_cg(u, src)
+        jax.block_until_ready(r.x)
+        sol_cg.append(r)
+    t_cg = (time.perf_counter() - t0) / len(srcs)
+
+    # --- MG: setup once per gauge, reuse across sources ---
+    t0 = time.perf_counter()
+    setup = make_deflation_setup(u, params, lat, n_vectors=args.nvec,
+                                 blocks=(2, 2, 2), inv_iters=3, smooth_iters=4)
+    jax.block_until_ready(setup.v)
+    t_setup = time.perf_counter() - t0
+
+    solve_mg = jax.jit(
+        lambda u_, s_, setup_: invert_eo(u_, s_, params, lat, tol=args.tol,
+                                         maxiter=4000, solver="dflfgmres",
+                                         deflation_setup=setup_)
+    )
+    jax.block_until_ready(solve_mg(u, srcs[0], setup).x)
+    sol_mg = []
+    t0 = time.perf_counter()
+    for src in srcs:
+        r = solve_mg(u, src, setup)
+        jax.block_until_ready(r.x)
+        sol_mg.append(r)
+    t_mg = (time.perf_counter() - t0) / len(srcs)
+
+    import numpy as np
+
+    dev = max(
+        float(jnp.max(jnp.abs(a.x - b.x)) / jnp.max(jnp.abs(a.x)))
+        for a, b in zip(sol_cg, sol_mg)
+    )
+    print(json.dumps({
+        "metric": "mg_vs_cg_light_quark",
+        "lattice": list(lat.dims),
+        "kappa": kappa,
+        "mu": args.mu,
+        "tol": args.tol,
+        "cg_seconds_per_solve": round(t_cg, 2),
+        "cg_iterations": int(sol_cg[0].iterations),
+        "mg_setup_seconds": round(t_setup, 2),
+        "mg_seconds_per_solve": round(t_mg, 2),
+        "mg_iterations": int(sol_mg[0].iterations),
+        "speedup_per_solve": round(t_cg / t_mg, 2),
+        "speedup_incl_setup": round(
+            len(srcs) * t_cg / (t_setup + len(srcs) * t_mg), 2
+        ),
+        "solution_rel_deviation": dev,
+    }))
+
+
+if __name__ == "__main__":
+    main()

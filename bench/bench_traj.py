@@ -25,24 +25,36 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dims", type=int, nargs=4, default=None)
     ap.add_argument("--n", type=int, default=3)
+    ap.add_argument("--therm", type=int, default=10)
     args = ap.parse_args(argv)
 
     from tmlqcd_tpu import su3
     from tmlqcd_tpu.lattice import Lattice
-    from tmlqcd_tpu.models.suites import nf2_twisted_mass_hasenbusch
+    from tmlqcd_tpu.models.suites import nf2_twisted_mass_hasenbusch, pure_gauge
     from tmlqcd_tpu.hmc import hmc_trajectory
 
     on_cpu = jax.default_backend() == "cpu"
     dims = tuple(args.dims) if args.dims else ((4, 4, 4, 8) if on_cpu else (16, 16, 16, 32))
     lat = Lattice(dims)
+    # kappa safely below kappa_c of the thermalized background: solves
+    # converge (not maxiter-saturated) and acceptance is honest — the
+    # round-1 point (kappa=0.16, supercritical on this background) timed
+    # 1000-iteration saturated solves and rejected everything
     cfg = nf2_twisted_mass_hasenbusch(
-        lat, beta=5.3, kappa=0.16, mu=0.01, mu_hasenbusch=0.1,
+        lat, beta=5.3, kappa=0.13, mu=0.01, mu_hasenbusch=0.1,
         tau=1.0, steps=(2, 2, 5), acc_tol=1e-8, force_tol=1e-7, maxiter=1000,
     )
     step = jax.jit(functools.partial(hmc_trajectory, cfg))
     u = su3.random_su3(jax.random.key(0), (4,) + lat.site_shape, jnp.complex64)
 
-    # thermalize/compile
+    # thermalize with the QUENCHED action first (a hot start is
+    # super-critical for kappa=0.16: the fermion trajectory rejects forever
+    # and the timing would measure an unphysical conditioning), then
+    # compile+warm the full action
+    gstep = jax.jit(functools.partial(hmc_trajectory, pure_gauge(lat, beta=5.3, steps=8)))
+    for i in range(max(args.therm, 1)):
+        u, st = gstep(u, jax.random.key(1000 + i))
+    print(f"# quenched therm: plaq={float(st.plaquette):.4f}", file=sys.stderr)
     u, st = step(u, jax.random.key(1))
     float(st.delta_h)
 

@@ -251,3 +251,22 @@ def test_check_rational_intervals():
     assert not checks[1].ok
     with pytest.raises(ValueError):
         check_rational_intervals([bad], u, strict=True, verbose=False)
+
+
+def test_halo_comm_accounting():
+    """Simulated ICI comm volume per sharded hop (reference: the
+    xchange_field message sizes) — sanity relations: halfspinor halves the
+    bytes; finer meshes shrink local HBM but grow the comm ratio."""
+    from tmlqcd_tpu.parallel import halo_bytes_per_dslash
+
+    lat = Lattice((32, 32, 32, 64))
+    full = halo_bytes_per_dslash(lat, (4, 2), halfspinor=False)
+    half = halo_bytes_per_dslash(lat, (4, 2), halfspinor=True)
+    assert half["bytes_per_hop"] * 2 == full["bytes_per_hop"]
+    one = halo_bytes_per_dslash(lat, (1, 1))
+    assert one["bytes_per_hop"] == 0
+    d42 = halo_bytes_per_dslash(lat, (4, 2))
+    d82 = halo_bytes_per_dslash(lat, (8, 2))
+    assert d82["comm_to_hbm_ratio"] > d42["comm_to_hbm_ratio"]
+    # t-halo: 2 messages of (X * m_loc) halfspinor sites = 48 B each
+    assert d42["t_halo_bytes"] == 2 * 32 * (32 * 32 // 2) * 48

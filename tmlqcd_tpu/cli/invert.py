@@ -105,7 +105,9 @@ def main(argv=None):
             from tmlqcd_tpu.io.propagator import write_propagator
 
             out = os.path.join(args.output_dir, f"propagator.{iop:02d}.{traj:06d}.lime")
-            write_propagator(out, [sol[i] for i in range(len(sources))], lat)
+            # reference: PropagatorPrecision = 32 writes sloppy propagators
+            write_propagator(out, [sol[i] for i in range(len(sources))], lat,
+                             precision=op.propagator_precision)
         else:
             out = os.path.join(args.output_dir, f"propagator.{iop:02d}.{traj:06d}.npz")
             np.savez_compressed(

@@ -39,6 +39,11 @@ class InvertResult:
     residual_sq: jax.Array  # normal-equation residual of the odd solve
 
 
+jax.tree_util.register_dataclass(
+    InvertResult, data_fields=["x", "iterations", "residual_sq"], meta_fields=[]
+)
+
+
 def make_deflation_setup(
     u: jax.Array,
     params: w.DiracParams,
@@ -103,7 +108,10 @@ def invert_eo(
         if setup is None:
             setup = make_deflation_setup(u, params, lat)
         kry = gcr if solver == "dflgcr" else fgmres
-        restart = 20
+        # short cycles: the V-cycle preconditioner converges in O(5-10)
+        # iterations, and a restart cannot early-exit mid-cycle — small m
+        # wastes fewer preconditioner applications past convergence
+        restart = 5
         res = kry(
             mv, bhat, precond=lambda r: vcycle(setup, mv, r),
             tol=tol, restart=restart, max_restarts=max(maxiter // restart, 1),

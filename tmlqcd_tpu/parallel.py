@@ -137,3 +137,46 @@ def parallel_chains(cfg, u_stack: jax.Array, keys: jax.Array):
 
     step = jax.vmap(functools.partial(hmc_trajectory, cfg))
     return step(u_stack, keys)
+
+
+def halo_bytes_per_dslash(
+    lat,
+    mesh_shape: tuple[int, int],
+    halfspinor: bool = True,
+    bytes_per_real: int = 4,
+) -> dict:
+    """Simulated ICI communication volume of ONE sharded hopping application
+    per chip (reference: the xchange_field message sizes; VERDICT r1 weak
+    #10 — know the comm budget BEFORE the first real multi-chip run).
+
+    mesh_shape = (t_shards, m_shards) over (T, Y).  Per chip and per
+    application the kernel path exchanges one t-slice in each t-direction
+    (2 messages of [spin, 3, X_loc=X, M_loc] sites) and one y-slice in each
+    m-direction; halfspinor halves the spin components (4 -> 2).
+
+    Returns bytes sent per chip per hopping application, plus derived
+    per-CG-iteration (4 hops in Qhat_pm) figures and the compute bytes for
+    a comm/compute ratio.
+    """
+    tsh, msh = mesh_shape
+    t, x, y, z = lat.dims
+    m_loc = lat.m // msh
+    t_loc = t // tsh
+    spin = 2 if halfspinor else 4
+    reals = spin * 3 * 2  # spin x color x (re, im)
+    site_b = reals * bytes_per_real
+    t_halo = 2 * x * m_loc * site_b if tsh > 1 else 0
+    m_halo = 2 * t_loc * x * lat.zh * site_b if msh > 1 else 0
+    per_hop = t_halo + m_halo
+    # local HBM traffic of one hop application (the tb=1 kernel model)
+    sites_loc = t_loc * x * m_loc
+    hbm = (576 + 3 * 96 + 96) * sites_loc
+    return {
+        "bytes_per_hop": per_hop,
+        "t_halo_bytes": t_halo,
+        "m_halo_bytes": m_halo,
+        "bytes_per_cg_iteration": 4 * per_hop,  # Qhat_pm = 4 hops
+        "hbm_bytes_per_hop": hbm,
+        "comm_to_hbm_ratio": per_hop / hbm if hbm else 0.0,
+        "local_sites": sites_loc,
+    }

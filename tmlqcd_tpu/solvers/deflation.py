@@ -45,6 +45,11 @@ class DeflationSetup:
     smooth_iters: int = 4
 
 
+jax.tree_util.register_dataclass(
+    DeflationSetup, data_fields=["v", "a_lu"], meta_fields=["blocks", "smooth_iters"]
+)
+
+
 def _block_view(x: jax.Array, blocks):
     """[.., T, X, M] -> [.., nbt, bt, nbx, bx, nbm, bm]."""
     nbt, nbx, nbm = blocks
