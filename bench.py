@@ -53,7 +53,8 @@ def device_bandwidth() -> float:
     return HBM_BW.get("cpu" if jax.default_backend() == "cpu" else "TPU v5 lite", 0.819e12)
 
 
-def bench_dslash(dims=(32, 32, 32, 64), n_apps=100, dtype=jnp.complex64, path="pallas"):
+def bench_dslash(dims=(32, 32, 32, 64), n_apps=100, dtype=jnp.complex64, path="pallas",
+                 compress=False):
     """Measure the per-application dslash time; path = 'pallas' | 'reference'.
 
     Measurement protocol (hardened against the async dispatch layer, which
@@ -72,16 +73,18 @@ def bench_dslash(dims=(32, 32, 32, 64), n_apps=100, dtype=jnp.complex64, path="p
     interpret = jax.default_backend() == "cpu"
     scale = 0.5  # fused normalization (keeps values in f32 range)
 
+    gcomp = dp.gauge_corr(ph) if compress else None
+
     @jax.jit
     def make_gauge(key):
         u = su3.random_su3(key, (4,) + lat.site_shape, dtype)
         ueo = pack_gauge_eo(u, lat)
         ug = dp.gauge_copy(ueo, lat, ph)
-        return (
-            ueo,
-            dp.split_c(ug[EVEN]).astype(jnp.float32),
-            dp.split_c(ug[ODD]).astype(jnp.float32),
-        )
+        ug_e = dp.split_c(ug[EVEN]).astype(jnp.float32)
+        ug_o = dp.split_c(ug[ODD]).astype(jnp.float32)
+        if compress:
+            ug_e, ug_o = dp.compress_ug(ug_e), dp.compress_ug(ug_o)
+        return ueo, ug_e, ug_o
 
     ueo, ug_e, ug_o = make_gauge(jax.random.key(0))
     jax.block_until_ready(ug_e)
@@ -96,8 +99,10 @@ def bench_dslash(dims=(32, 32, 32, 64), n_apps=100, dtype=jnp.complex64, path="p
             ).astype(jnp.float32)
 
             def body(ps, _):
-                e = dp.hopping_pallas_split(a, ps, EVEN, lat, interpret=interpret, scale=scale)
-                o = dp.hopping_pallas_split(b, e, ODD, lat, interpret=interpret, scale=scale)
+                e = dp.hopping_pallas_split(a, ps, EVEN, lat, interpret=interpret,
+                                            scale=scale, gcomp=gcomp)
+                o = dp.hopping_pallas_split(b, e, ODD, lat, interpret=interpret,
+                                            scale=scale, gcomp=gcomp)
                 return o, None
 
             out, _ = jax.lax.scan(body, psi, None, length=n)
@@ -140,18 +145,28 @@ def bench_dslash(dims=(32, 32, 32, 64), n_apps=100, dtype=jnp.complex64, path="p
     gflops = FLOPS_PER_SITE * sites * applications / dt / 1e9
 
     # ideal HBM traffic per half-lattice application (f32):
-    # 8 links * 18 reals * 4B = 576 B + psi in 96 B + out 96 B per site
+    # 8 links * 18 reals * 4B = 576 B + psi in 96 B + out 96 B per site.
+    # This 768 B/site model is the round-1 roofline denominator — kept
+    # fixed so roofline_fraction stays comparable across rounds; the
+    # 12-real compressed gauge copy (compress=True) moves only 576 B/site
+    # ideal, reported separately as roofline_fraction_compressed_model.
     bytes_per_site = (8 * 18 + 24 + 24) * 4
     bw_roofline_gflops = device_bandwidth() / bytes_per_site * FLOPS_PER_SITE / 1e9
-    return {
+    out = {
         "gflops": gflops,
         "roofline_gflops": bw_roofline_gflops,
         "roofline_fraction": gflops / bw_roofline_gflops,
         "seconds_per_application": dt / applications,
         "dims": dims,
         "path": path,
+        "gauge_compressed": bool(compress),
         "device": jax.devices()[0].device_kind,
     }
+    if compress:
+        comp_bytes = (8 * 12 + 24 + 24) * 4
+        comp_roofline = device_bandwidth() / comp_bytes * FLOPS_PER_SITE / 1e9
+        out["roofline_fraction_compressed_model"] = gflops / comp_roofline
+    return out
 
 
 def kernel_check(dims=(8, 8, 8, 16)) -> float:
@@ -181,12 +196,19 @@ def kernel_check(dims=(8, 8, 8, 16)) -> float:
 
 
 def main():
+    from tmlqcd_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     path = "reference" if "--reference" in sys.argv else "pallas"
     on_cpu = jax.default_backend() == "cpu"
     dims = (8, 8, 8, 16) if on_cpu else (32, 32, 32, 64)
     err = kernel_check()
     check = "ok" if err < 1e-4 else f"FAIL({err:.2e})"
-    r = bench_dslash(dims=dims, n_apps=4 if on_cpu else 50, path=path)
+    from tmlqcd_tpu.ops.wilson_fast import default_compress
+
+    compress = path == "pallas" and default_compress()
+    r = bench_dslash(dims=dims, n_apps=4 if on_cpu else 50, path=path,
+                     compress=compress)
     target = 0.6 * r["roofline_gflops"]
     import os
 
@@ -195,6 +217,7 @@ def main():
     lat = Lattice(dims)
     budget = int(os.environ.get("TMLQCD_TPU_VMEM_MB", "14")) * 2**20
     mt, hw = _pick_tiles(lat, budget)
+    tb = _pick_tb(lat, mt, hw, budget, compressed=compress)
     print(
         json.dumps(
             {
@@ -205,12 +228,16 @@ def main():
                 "detail": {
                     "hbm_roofline_gflops": round(r["roofline_gflops"], 1),
                     "roofline_fraction": round(r["roofline_fraction"], 4),
+                    "gauge_compressed": r["gauge_compressed"],
+                    "roofline_fraction_compressed_model": round(
+                        r.get("roofline_fraction_compressed_model", 0.0), 4
+                    ),
                     "device": r["device"],
                     "lattice": list(r["dims"]),
                     "path": r["path"],
                     "kernel_check": check,
                     "kernel_check_err": err,
-                    "t_slabs_per_step": _pick_tb(lat, mt, hw, budget),
+                    "t_slabs_per_step": tb,
                 },
             }
         )

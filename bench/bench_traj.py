@@ -22,6 +22,9 @@ import jax.numpy as jnp
 
 
 def main(argv=None):
+    from tmlqcd_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--dims", type=int, nargs=4, default=None)
     ap.add_argument("--n", type=int, default=3)

@@ -58,6 +58,29 @@ SAMPLE = textwrap.dedent(
 )
 
 
+def test_parse_source_and_smearing_keys():
+    """SourceType/SourceTimeslice (reference: source_generation.c input keys)
+    + the Jacobi/APE smearing key spellings of this framework."""
+    cfg = parse_input(SAMPLE + textwrap.dedent(
+        """
+        SourceType = Timeslice
+        SourceTimeslice = 3
+        UseSourceSmearing = 1
+        JacobiKappa = 0.19
+        JacobiIterations = 7
+        APEAlpha = 0.4
+        APEIterations = 2
+        """
+    ))
+    assert cfg.source_type == "timeslicez2" and cfg.source_timeslice == 3
+    assert cfg.use_source_smearing
+    assert cfg.jacobi_kappa == 0.19 and cfg.jacobi_iterations == 7
+    assert cfg.ape_alpha == 0.4 and cfg.ape_iterations == 2
+    # defaults: point source at t=0, no smearing
+    base = parse_input(SAMPLE)
+    assert base.source_type == "point" and not base.use_source_smearing
+
+
 def test_parse_tmlqcd_input():
     cfg = parse_input(SAMPLE)
     assert (cfg.t, cfg.lx, cfg.ly, cfg.lz) == (8, 4, 4, 4)

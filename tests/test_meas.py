@@ -169,3 +169,44 @@ def test_flow_scan_monotone_energy():
     t2e = np.asarray(res.t2e_plaq)
     assert np.all(np.isfinite(t2e)) and np.all(t2e > 0)
     assert float(su3.unitarity_defect(res.v)) < 1e-5
+
+
+def test_topological_charge_abelian_flux():
+    """Known-answer: an abelian torus flux config with fluxes (n1, n2) in the
+    (t,x) and (y,z) planes embedded along lambda = diag(1,-1,0) has
+    Q = tr(lambda^2) n1 n2 / ... = 2 n1 n2 in the continuum; the clover
+    discretization agrees to O(a^2 f^2) (reference:
+    measure_clover_field_strength_observables.c's topological charge)."""
+    from tmlqcd_tpu.meas import topological_charge
+
+    lat = LAT  # (T, X, Y, Z)
+    T, X, Y, Z = lat.dims
+    n1, n2 = 1, 1
+    t = np.arange(T).reshape(T, 1, 1)
+    x = np.arange(X).reshape(1, X, 1)
+    m = np.arange(Y * Z).reshape(1, 1, Y * Z)
+    y, z = m // Z, m % Z
+    th = np.zeros((4, T, X, Y * Z))
+    th[1] = 2 * np.pi * n1 * t / (T * X) + 0 * (x + m)
+    th[0] = np.where(t == T - 1, -2 * np.pi * n1 * x / X, 0.0) + 0 * m
+    th[3] = 2 * np.pi * n2 * y / (Y * Z) + 0 * (t + x)
+    th[2] = np.where(y == Y - 1, -2 * np.pi * n2 * z / Z, 0.0) + 0 * (t + x)
+    u = np.zeros((3, 3, 4, T, X, Y * Z), np.complex128)
+    for c, e in enumerate([1.0, -1.0, 0.0]):
+        u[c, c] = np.exp(1j * e * th)
+    q = float(topological_charge(jnp.asarray(u, DT), lat))
+    # exact clover value for a constant abelian flux: each leaf's phase is
+    # f, so G = sin(f lambda) and Q = 2 n1 n2 (sin f1/f1)(sin f2/f2) ->
+    # the continuum 2 n1 n2 as a -> 0
+    f1, f2 = 2 * np.pi * n1 / (T * X), 2 * np.pi * n2 / (Y * Z)
+    expect = 2.0 * n1 * n2 * (np.sin(f1) / f1) * (np.sin(f2) / f2)
+    assert abs(q - expect) < 1e-3 * abs(expect), (q, expect)
+
+
+def test_topological_charge_unit_field_zero():
+    u = jnp.broadcast_to(
+        jnp.eye(3, dtype=DT).reshape(3, 3, 1, 1, 1, 1), (3, 3, 4) + LAT.site_shape
+    )
+    from tmlqcd_tpu.meas import topological_charge
+
+    assert abs(float(topological_charge(u, LAT))) < 1e-10

@@ -93,6 +93,26 @@ def test_sloppy_bf16_gauge_close_to_f32():
     assert rel < 0.05, rel  # bf16 has ~3 decimal digits
 
 
+def test_compressed_gauge_matches_plain():
+    """12-real compressed gauge copy (row 2 reconstructed in-kernel with the
+    gauge_corr phase constants) == full 18-real copy to f32 rounding — with
+    nontrivial theta BCs so the phase correction itself is exercised."""
+    import tmlqcd_tpu.ops.wilson_fast as wf
+
+    lat = Lattice((4, 4, 4, 4))
+    params = w.DiracParams(kappa=0.13, mu=0.05, theta=(1.0, 0.3, 0.0, -0.7))
+    u = su3.random_su3(jax.random.key(6), (4,) + lat.site_shape, jnp.complex64)
+    psi = rng.normal_spinor(jax.random.key(7), (4, 3) + lat.eo_site_shape, jnp.complex64)
+    fg = wf.make_fast_gauge(u, params, lat, compress=False)
+    fgc = wf.make_fast_gauge(u, params, lat, compress=True)
+    assert fg.ug_even.shape[2] == 3 and fgc.ug_even.shape[2] == 2
+    assert fgc.gcomp is not None
+    a = wf.q_hat_pm_fast(fg, wf.to_split(psi), params, lat)
+    b = wf.q_hat_pm_fast(fgc, wf.to_split(psi), params, lat)
+    rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a))
+    assert rel < 1e-5, rel
+
+
 def test_fastmixed_inverter_matches_reference():
     """invert_eo(solver='fastmixed'): bf16-gauge inner CG + f32 defect
     correction reaches the same solution."""

@@ -88,7 +88,8 @@ def test_qhat_pm_operator_on_sharded_kernel(fields):
     with mesh:
         out2 = jax.jit(
             lambda ge, go, x: wf.q_hat_pm_fast_shard(
-                wf.FastGauge(ug_even=ge, ug_odd=go), x, PARAMS, LAT, mesh, m_axis="m"
+                wf.FastGauge(ug_even=ge, ug_odd=go, gcomp=fg.gcomp),
+                x, PARAMS, LAT, mesh, m_axis="m"
             )
         )(ug_e, ug_o, psi_s)
     out = dp.merge_c(out2, jnp.complex64)

@@ -57,6 +57,16 @@ def test_bicgstab_nonhermitian(setup):
     assert rel < 5e-6
 
 
+def test_cgs_nonhermitian(setup):
+    """CGS (reference: solver/cgs_real.c) solves the unsquared operator."""
+    from tmlqcd_tpu.solvers.cgs import cgs
+
+    _, mhat, b = setup
+    res = jax.jit(lambda b: cgs(mhat, b, tol=1e-6, maxiter=500))(b)
+    rel = float(jnp.linalg.norm(mhat(res.x) - b) / jnp.linalg.norm(b))
+    assert rel < 5e-6
+
+
 def test_cg_with_initial_guess(setup):
     """Chronological-guess contract: a good x0 cuts iterations
     (reference: solver/chrono_guess.c)."""

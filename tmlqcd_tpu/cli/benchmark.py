@@ -14,6 +14,9 @@ import sys
 
 
 def main(argv=None):
+    from tmlqcd_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     ap = argparse.ArgumentParser(description="dslash benchmark")
     ap.add_argument("--dims", type=int, nargs=4, default=None)
     ap.add_argument("--apps", type=int, default=None)

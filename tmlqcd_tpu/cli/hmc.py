@@ -44,6 +44,9 @@ class _GracefulStop:
 
 
 def main(argv=None):
+    from tmlqcd_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     ap = argparse.ArgumentParser(description="TPU-native twisted-mass HMC")
     ap.add_argument("-f", "--input", required=True, help="tmLQCD-style input file")
     ap.add_argument("-o", "--output-dir", default=None, help="run directory")

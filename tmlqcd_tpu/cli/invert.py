@@ -22,11 +22,16 @@ import numpy as np
 
 
 def main(argv=None):
+    from tmlqcd_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     ap = argparse.ArgumentParser(description="TPU-native propagator inverter")
     ap.add_argument("-f", "--input", required=True)
     ap.add_argument("-c", "--config", required=True, help="gauge checkpoint (.npz or ILDG)")
-    ap.add_argument("--source", default="point", choices=["point", "z2"])
-    ap.add_argument("--timeslice", type=int, default=0)
+    ap.add_argument("--source", default=None, choices=["point", "z2"],
+                    help="overrides the input file's SourceType")
+    ap.add_argument("--timeslice", type=int, default=None,
+                    help="overrides the input file's SourceTimeslice")
     ap.add_argument("--seed", type=int, default=171)
     ap.add_argument("--format", default="lime", choices=["lime", "npz"],
                     help="propagator output: SciDAC LIME records or npz")
@@ -74,17 +79,32 @@ def main(argv=None):
                   f"{time.perf_counter() - t0:.1f}s")
             inv_kw["deflation_setup"] = defl
 
-        if args.source == "point":
+        # source selection: CLI flags override the input file's
+        # SourceType/SourceTimeslice keys (reference: source_generation.c)
+        src_kind = args.source or ("z2" if cfg.source_type.startswith("timeslice") else "point")
+        ts = args.timeslice if args.timeslice is not None else cfg.source_timeslice
+        if src_kind == "point":
             sources = [
-                (s, c, point_source(lat, s, c, (args.timeslice, 0, 0, 0), u.dtype))
+                (s, c, point_source(lat, s, c, (ts, 0, 0, 0), u.dtype))
                 for s in range(4)
                 for c in range(3)
             ]
         else:
             key = jax.random.key(args.seed)
             sources = [
-                (0, 0, z2_timeslice_source(lat, args.timeslice, key, u.dtype))
+                (0, 0, z2_timeslice_source(lat, ts, key, u.dtype))
             ]
+
+        # gauge-covariant source smearing (reference: jacobi.c): Jacobi
+        # sweeps on APE-smeared spatial links, built once per gauge
+        if cfg.use_source_smearing:
+            from tmlqcd_tpu.meas.smearing import ape_smear_spatial, jacobi_smear
+
+            u_ape = (ape_smear_spatial(u, lat, cfg.ape_alpha, cfg.ape_iterations)
+                     if cfg.ape_iterations > 0 else u)
+            smear = jax.jit(lambda s: jacobi_smear(
+                s, u_ape, lat, cfg.jacobi_kappa, cfg.jacobi_iterations))
+            sources = [(s, c, smear(src)) for s, c, src in sources]
 
         sol = np.zeros((len(sources), 4, 3) + lat.site_shape, np.complex64)
         for i, (s, c, src) in enumerate(sources):

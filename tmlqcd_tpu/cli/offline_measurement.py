@@ -19,6 +19,9 @@ import jax.numpy as jnp
 
 
 def main(argv=None):
+    from tmlqcd_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     ap = argparse.ArgumentParser(description="offline measurements")
     ap.add_argument("-f", "--input", required=True)
     ap.add_argument("-c", "--configs", nargs="+", required=True)

@@ -101,7 +101,7 @@ class IntegratorSpec:
 class MeasurementSpec:
     """One BeginMeasurement block."""
 
-    type: str  # ONLINE | GRADIENTFLOW | POLYAKOV | ORIENTEDPLAQUETTES | PIONNORM
+    type: str  # ONLINE | GRADIENTFLOW | POLYAKOV | ORIENTEDPLAQUETTES | PIONNORM | FIELDSTRENGTH
     frequency: int = 1
     kappa: float = 0.0
     two_kappa_mu: float = 0.0
@@ -154,6 +154,17 @@ class RunConfig:
     # "readin" reads the nstore counter from the run dir; an integer starts
     # the trajectory counter there (loading that config when continuing)
     initial_store_counter: object = "readin"
+    # source generation for the invert driver (reference: source_generation.c
+    # driven by SourceType/SourceTimeslice input keys; Jacobi/APE smearing
+    # per jacobi.c — the smearing keys are this framework's spellings since
+    # the reference configures smearing from the contraction codes)
+    source_type: str = "point"  # point | timeslicez2 (Z2 stochastic wall)
+    source_timeslice: int = 0
+    use_source_smearing: bool = False
+    jacobi_kappa: float = 0.21
+    jacobi_iterations: int = 5
+    ape_alpha: float = 0.5
+    ape_iterations: int = 4
 
     @property
     def lat(self) -> Lattice:

@@ -148,6 +148,18 @@ def parse_input(text: str) -> RunConfig:
         reversibility_interval=gi("reversibilitycheckintervall", 100),
         debug_level=gi("debuglevel", 1),
         initial_store_counter=isc,
+        # SourceType spellings: Point / TimesliceZ2 ("Timeslice", "Z2" and
+        # "Wall" accepted as aliases of the stochastic timeslice source)
+        source_type={"timeslice": "timeslicez2", "z2": "timeslicez2",
+                     "wall": "timeslicez2"}.get(
+            g.get("sourcetype", "point").lower(),
+            g.get("sourcetype", "point").lower()),
+        source_timeslice=gi("sourcetimeslice", 0),
+        use_source_smearing=bool(gi("usesourcesmearing", gi("usesmearing", 0))),
+        jacobi_kappa=gf("jacobikappa", 0.21),
+        jacobi_iterations=gi("jacobiiterations", 5),
+        ape_alpha=gf("apealpha", 0.5),
+        ape_iterations=gi("apeiterations", 4),
     )
 
 

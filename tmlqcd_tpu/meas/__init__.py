@@ -1,7 +1,12 @@
 """Measurements: gauge observables, online correlators, gradient flow,
 sources (reference: meas/*.c, polyakov_loop.c, source_generation.c)."""
 
-from tmlqcd_tpu.meas.gauge_obs import oriented_plaquettes, polyakov_loop  # noqa: F401
+from tmlqcd_tpu.meas.gauge_obs import (  # noqa: F401
+    field_strength_observables,
+    oriented_plaquettes,
+    polyakov_loop,
+    topological_charge,
+)
 from tmlqcd_tpu.meas.sources import (  # noqa: F401
     gaussian_timeslice_source,
     point_source,

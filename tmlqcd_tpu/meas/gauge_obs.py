@@ -14,7 +14,12 @@ from tmlqcd_tpu import su3
 from tmlqcd_tpu.lattice import Lattice
 from tmlqcd_tpu.ops.gauge_action import plaquette_field
 
-__all__ = ["polyakov_loop", "oriented_plaquettes"]
+__all__ = [
+    "polyakov_loop",
+    "oriented_plaquettes",
+    "topological_charge",
+    "field_strength_observables",
+]
 
 
 def polyakov_loop(u: jax.Array, lat: Lattice, direction: int = 0) -> jax.Array:
@@ -56,3 +61,33 @@ def oriented_plaquettes(u: jax.Array, lat: Lattice) -> jax.Array:
             tr = su3.re_trace(plaquette_field(u, mu, nu, lat))
             vals.append(jnp.mean(tr.astype(jnp.float64)) / 3.0)
     return jnp.stack(vals)
+
+
+def topological_charge(u: jax.Array, lat: Lattice) -> jax.Array:
+    """Field-theoretic topological charge from the clover field strength:
+    Q = 1/(32 pi^2) sum_x eps_{munurhosigma} tr[G_munu G_rhosigma]
+      = 1/(4 pi^2)  sum_x Re tr[G_01 G_23 - G_02 G_13 + G_03 G_12]
+    (reference: meas/measure_clover_field_strength_observables.c — the
+    unsmoothed clover-definition charge; measure after gradient flow for
+    near-integer values)."""
+    import numpy as np
+
+    from tmlqcd_tpu.ops.clover import PLANES, field_strength
+
+    gs = field_strength(u, lat)
+    i = {pl: k for k, pl in enumerate(PLANES)}
+    pairs = [((0, 1), (2, 3), +1.0), ((0, 2), (1, 3), -1.0), ((0, 3), (1, 2), +1.0)]
+    q = jnp.asarray(0.0, jnp.float64)
+    for a, b, sgn in pairs:
+        tr = su3.trace(su3.mul(gs[i[a]], gs[i[b]]))
+        q = q + sgn * jnp.sum(tr.real.astype(jnp.float64))
+    return q / (4.0 * np.pi**2)
+
+
+def field_strength_observables(u: jax.Array, lat: Lattice):
+    """(E_plaq, E_clover, Q): gauge energy in both discretizations plus the
+    clover topological charge at flow time zero (reference:
+    measure_clover_field_strength_observables.c's measurement record)."""
+    from tmlqcd_tpu.meas.gradient_flow import energy_clover, energy_plaq
+
+    return energy_plaq(u, lat), energy_clover(u, lat), topological_charge(u, lat)

@@ -70,3 +70,11 @@ def run_measurements(cfg, u, lat: Lattice, traj: int, run_dir: str, key) -> None
             op = np.asarray(oriented_plaquettes(u, lat))
             with open(os.path.join(run_dir, "oriented_plaquettes.data"), "a") as f:
                 f.write(f"{traj:08d} " + " ".join(f"{v:.10f}" for v in op) + "\n")
+        elif ty == "FIELDSTRENGTH":
+            from tmlqcd_tpu.meas import field_strength_observables
+
+            ep, ec, q = field_strength_observables(u, lat)
+            with open(os.path.join(run_dir, "field_strength.data"), "a") as f:
+                # columns: traj E_plaq E_clover Q_clover (reference:
+                # measure_clover_field_strength_observables.c)
+                f.write(f"{traj:08d} {float(ep):.10e} {float(ec):.10e} {float(q):+.10e}\n")

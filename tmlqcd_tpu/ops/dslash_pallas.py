@@ -50,6 +50,8 @@ from tmlqcd_tpu.lattice import Lattice, hop_packed
 
 __all__ = [
     "gauge_copy",
+    "gauge_corr",
+    "compress_ug",
     "split_c",
     "merge_c",
     "hopping_pallas",
@@ -181,11 +183,67 @@ def _wsum(coeffs, vals_re, vals_im):
     return acc_re, acc_im
 
 
+def _load_g(ug_ref, d: int, rows: int):
+    """Read the [rows, 3] complex link entries of direction d into split
+    lists (upcasting bf16 sloppy gauge in VMEM)."""
+    g_re = [[None] * 3 for _ in range(3)]
+    g_im = [[None] * 3 for _ in range(3)]
+    for i in range(rows):
+        for j in range(3):
+            g_re[i][j] = ug_ref[0, d, i, j, 0].astype(jnp.float32)
+            g_im[i][j] = ug_ref[1, d, i, j, 0].astype(jnp.float32)
+    return g_re, g_im
+
+
+def _reconstruct_row2(g_re, g_im, corr):
+    """Third SU(3) row from the first two: row2 = corr * conj(row0 x row1)
+    (the classic lattice-QCD 12-real gauge compression; the stored matrix is
+    phase * SU(3), so corr = phase/conj(phase)^2 — a static per-direction
+    constant — restores the phased row.  The reference's _GAUGE_COPY layouts
+    stream all 18 reals; reconstructing cuts the dominant HBM stream by a
+    third, 576 -> 384 B/site, for ~384 extra VPU flops/site)."""
+    cr, ci = corr
+    for j in range(3):
+        j1, j2 = (j + 1) % 3, (j + 2) % 3
+        t_re = (g_re[0][j1] * g_re[1][j2] - g_im[0][j1] * g_im[1][j2]
+                - g_re[0][j2] * g_re[1][j1] + g_im[0][j2] * g_im[1][j1])
+        t_im = (g_re[0][j1] * g_im[1][j2] + g_im[0][j1] * g_re[1][j2]
+                - g_re[0][j2] * g_im[1][j1] - g_im[0][j2] * g_re[1][j1])
+        if cr == 1.0 and ci == 0.0:
+            g_re[2][j], g_im[2][j] = t_re, -t_im
+        else:
+            crf, cif = jnp.float32(cr), jnp.float32(ci)
+            g_re[2][j] = crf * t_re + cif * t_im
+            g_im[2][j] = cif * t_re - crf * t_im
+
+
+def gauge_corr(phases: np.ndarray) -> tuple:
+    """Static per-direction row-2 correction constants for the compressed
+    gauge copy: direction d = 2 mu + fb stores c*U (c = ka_mu fwd,
+    conj(ka_mu) bwd); conj(r0 x r1) of c*U is conj(c)^2 * row2(U), so
+    multiplying by corr = c / conj(c)^2 restores row2(c*U)."""
+    out = []
+    for mu in range(4):
+        for fb in range(2):
+            c = complex(phases[mu]) if fb == 0 else complex(np.conj(phases[mu]))
+            corr = c / np.conj(c) ** 2
+            out.append((float(corr.real), float(corr.imag)))
+    return tuple(out)
+
+
+def compress_ug(ug_split: jax.Array) -> jax.Array:
+    """Drop row 2 of a split per-parity gauge copy [2,8,3,3,T,X,M] ->
+    [2,8,2,3,T,X,M] (the kernel reconstructs it via gauge_corr consts)."""
+    return ug_split[:, :, :2]
+
+
 def _stencil_accum(p: int, lat: Lattice, mt: int, t_idx, m0, cur, tprev, tnext,
-                   cat, ug_ref):
+                   cat, ug_ref, gcomp: tuple | None = None):
     """The 8-direction hopping accumulation for one (t, m) tile -> 4x3
     component lists (acc_re, acc_im).  Factored so the sharded/overlap
-    kernel variants and the diagonal-fused epilogues share one body."""
+    kernel variants and the diagonal-fused epilogues share one body.
+    gcomp != None selects the 12-real compressed gauge copy (2 stored rows,
+    row 2 reconstructed in-register with the static gcomp[d] phase consts)."""
     acc_re = [[None] * 3 for _ in range(4)]
     acc_im = [[None] * 3 for _ in range(4)]
 
@@ -202,15 +260,17 @@ def _stencil_accum(p: int, lat: Lattice, mt: int, t_idx, m0, cur, tprev, tnext,
                 vr = [nbr[0, s, c] for s in range(4)]
                 vi = [nbr[1, s, c] for s in range(4)]
                 h_re[a][c], h_im[a][c] = _wsum(coeffs, vr, vi)
+        # bf16 gauge (sloppy/mixed-precision mode) upcasts in VMEM:
+        # halves the dominant HBM stream (576 -> 288 B/site)
+        g_re, g_im = _load_g(ug_ref, d, 2 if gcomp is not None else 3)
+        if gcomp is not None:
+            _reconstruct_row2(g_re, g_im, gcomp[d])
         # uh[a][i] = sum_j ug[d,i,j] h[a][j]   (complex mults, the flops)
         uh_re = [[None] * 3 for _ in range(2)]
         uh_im = [[None] * 3 for _ in range(2)]
         for i in range(3):
             for j in range(3):
-                # bf16 gauge (sloppy/mixed-precision mode) upcasts in VMEM:
-                # halves the dominant HBM stream (576 -> 288 B/site)
-                gr = ug_ref[0, d, i, j, 0].astype(jnp.float32)
-                gi = ug_ref[1, d, i, j, 0].astype(jnp.float32)
+                gr, gi = g_re[i][j], g_im[i][j]
                 for a in range(2):
                     tr = gr * h_re[a][j] - gi * h_im[a][j]
                     ti = gr * h_im[a][j] + gi * h_re[a][j]
@@ -248,7 +308,37 @@ def _stack_out(acc_re, acc_im, x_ext: int, mt: int):
     )
 
 
-def _apply_epilogue(epi: tuple, scale: float, acc_re, acc_im, psi_o, x_ext: int, mt: int):
+def _blk_matvec(blk, xr_fn, xi_fn):
+    """Per-site chirality-block (2 x 6x6 complex) matvec against the spinor
+    given by getters (s, c) -> [X, Mt] planes.  blk is the FLATTENED split
+    block slab [2(ri), 72, X, Mt]: k = ((b*2+s)*2+sp)*9 + c*3 + cp with
+    b = chirality, (s, sp) spin-within-chirality, (c, cp) color — i.e. a
+    row-major flatten of the [b, s, sp, c, cp] block tensor.
+    out[2b+s][c] = sum_{sp,cp} blk[b,s,sp,c,cp] x[2b+sp][cp]."""
+    out_re = [[None] * 3 for _ in range(4)]
+    out_im = [[None] * 3 for _ in range(4)]
+    for b in range(2):
+        for s in range(2):
+            for c in range(3):
+                ar = ai = None
+                for sp in range(2):
+                    for cp in range(3):
+                        k = ((b * 2 + s) * 2 + sp) * 9 + c * 3 + cp
+                        br = blk[0, k]
+                        bi = blk[1, k]
+                        xr = xr_fn(2 * b + sp, cp)
+                        xi = xi_fn(2 * b + sp, cp)
+                        tr = br * xr - bi * xi
+                        ti = br * xi + bi * xr
+                        ar = tr if ar is None else ar + tr
+                        ai = ti if ai is None else ai + ti
+                out_re[2 * b + s][c] = ar
+                out_im[2 * b + s][c] = ai
+    return out_re, out_im
+
+
+def _apply_epilogue(epi: tuple, scale: float, acc_re, acc_im, psi_o, x_ext: int, mt: int,
+                    blk=None):
     """Fuse the even/odd diagonal into the kernel epilogue — each fused form
     saves one elementwise HBM pass per Dirac application (reference: the
     `_mul_one_pm_imu_inv` / Mtm assembly steps that the C code runs as
@@ -259,7 +349,16 @@ def _apply_epilogue(epi: tuple, scale: float, acc_re, acc_im, psi_o, x_ext: int,
       ("mee_inv", mutld, sign)           out = scale * Mee(sign)^{-1} (H psi)
       ("mhat", mutld, sign, k2, g5)      out = [g5] (Mee(sign) psi_o - k2 H psi)
                                          (psi_o = the original odd input)
-    gamma5 spin signs: (+,+,-,-).
+      ("clov_inv",)                      out = scale * B (H psi)   (B = the
+                                         materialized Mee^{-1} clover blocks,
+                                         streamed via the extra blocks ref)
+      ("clov_mhat", k2, g5)              out = [g5] (B psi_o - k2 H psi)
+                                         (B = the M_oo clover blocks)
+    gamma5 spin signs: (+,+,-,-).  The clov_* forms are the sw_term analog
+    of mee_inv/mhat (reference: clovertm_operators.c's Msw assembly, which
+    runs clover_inv / clover_gamma5 as separate site loops after
+    Hopping_Matrix — fused here to save two full spinor HBM passes per
+    Schur-complement application).
     """
     kind = epi[0]
     if kind == "none":
@@ -307,22 +406,52 @@ def _apply_epilogue(epi: tuple, scale: float, acc_re, acc_im, psi_o, x_ext: int,
                 out_re[s][c] = g5s * zr
                 out_im[s][c] = g5s * zi
         return _stack_out(out_re, out_im, x_ext, mt)
+    if kind == "clov_inv":
+        out_re, out_im = _blk_matvec(
+            blk, lambda s, c: get(acc_re, s, c), lambda s, c: get(acc_im, s, c)
+        )
+        if scale != 1.0:
+            sc = jnp.float32(scale)
+            for s in range(4):
+                for c in range(3):
+                    out_re[s][c] = out_re[s][c] * sc
+                    out_im[s][c] = out_im[s][c] * sc
+        return _stack_out(out_re, out_im, x_ext, mt)
+    if kind == "clov_mhat":
+        _, k2, g5 = epi
+        k2_ = jnp.float32(k2)
+        mr, mi = _blk_matvec(
+            blk, lambda s, c: psi_o[0, s, c], lambda s, c: psi_o[1, s, c]
+        )
+        out_re = [[None] * 3 for _ in range(4)]
+        out_im = [[None] * 3 for _ in range(4)]
+        for s in range(4):
+            g5s = jnp.float32((1.0 if s < 2 else -1.0) if g5 else 1.0)
+            for c in range(3):
+                out_re[s][c] = g5s * (mr[s][c] - k2_ * get(acc_re, s, c))
+                out_im[s][c] = g5s * (mi[s][c] - k2_ * get(acc_im, s, c))
+        return _stack_out(out_re, out_im, x_ext, mt)
     raise ValueError(f"unknown epilogue {epi!r}")
 
 
+def _epi_extras(epi: tuple) -> tuple[bool, bool]:
+    """(needs_blocks, needs_psi_o) for an epilogue kind — fixes the extra-ref
+    order everywhere: ..., ug_ref, [blk_ref], [psi_o_ref], out_ref."""
+    kind = epi[0]
+    return kind in ("clov_inv", "clov_mhat"), kind in ("mhat", "clov_mhat")
+
+
 def _dslash_kernel(p: int, lat: Lattice, mt: int, nmb: int, scale: float,
-                   epi: tuple,
+                   epi: tuple, gcomp: tuple | None,
                    *refs):
     """One (t, m-tile) block of H_{p,q} psi (all 8 directions fused), with
     an optional diagonal epilogue fused on the way out."""
-    if epi[0] == "mhat":
-        (psi_c_ref, psi_tp_ref, psi_tn_ref, psi_ml_ref, psi_mr_ref, ug_ref,
-         psi_o_ref, out_ref) = refs
-        psi_o = psi_o_ref[:, :, :, 0]
-    else:
-        (psi_c_ref, psi_tp_ref, psi_tn_ref, psi_ml_ref, psi_mr_ref, ug_ref,
-         out_ref) = refs
-        psi_o = None
+    needs_blk, needs_po = _epi_extras(epi)
+    psi_c_ref, psi_tp_ref, psi_tn_ref, psi_ml_ref, psi_mr_ref, ug_ref = refs[:6]
+    rest = list(refs[6:-1])
+    out_ref = refs[-1]
+    blk = rest.pop(0)[:, :, 0] if needs_blk else None
+    psi_o = rest.pop(0)[:, :, :, 0] if needs_po else None
     t_idx = pl.program_id(0)
     m_idx = pl.program_id(1)
     m0 = m_idx * mt
@@ -336,25 +465,24 @@ def _dslash_kernel(p: int, lat: Lattice, mt: int, nmb: int, scale: float,
 
     x_ext = cur.shape[-2]
     acc_re, acc_im = _stencil_accum(p, lat, mt, t_idx, m0, cur, tprev, tnext,
-                                    cat, ug_ref)
+                                    cat, ug_ref, gcomp)
     out_ref[:, :, :, 0] = _apply_epilogue(epi, scale, acc_re, acc_im, psi_o,
-                                          x_ext, mt)
+                                          x_ext, mt, blk)
 
 
 def _dslash_kernel_tb(p: int, lat: Lattice, mt: int, tb: int, scale: float,
-                      epi: tuple, *refs):
+                      epi: tuple, gcomp: tuple | None, *refs):
     """Multi-slab variant: each grid step computes tb consecutive t-slabs,
     so interior slabs reuse their t-neighbors from VMEM instead of re-reading
     them from HBM — psi traffic drops from 3x to (tb+2)/tb per site, lifting
     the bandwidth-roofline design ceiling from 80% (tb=1) to 89% (tb=2) /
     94% (tb=4).  Layout/semantics otherwise identical to _dslash_kernel."""
-    if epi[0] == "mhat":
-        (psi_c_ref, psi_tlo_ref, psi_thi_ref, psi_ml_ref, psi_mr_ref, ug_ref,
-         psi_o_ref, out_ref) = refs
-    else:
-        (psi_c_ref, psi_tlo_ref, psi_thi_ref, psi_ml_ref, psi_mr_ref, ug_ref,
-         out_ref) = refs
-        psi_o_ref = None
+    needs_blk, needs_po = _epi_extras(epi)
+    psi_c_ref, psi_tlo_ref, psi_thi_ref, psi_ml_ref, psi_mr_ref, ug_ref = refs[:6]
+    rest = list(refs[6:-1])
+    out_ref = refs[-1]
+    blk_ref = rest.pop(0) if needs_blk else None
+    psi_o_ref = rest.pop(0) if needs_po else None
     t_idx0 = jax.lax.mul(pl.program_id(0), jnp.int32(tb))
     m_idx = pl.program_id(1)
     m0 = m_idx * mt
@@ -370,11 +498,12 @@ def _dslash_kernel_tb(p: int, lat: Lattice, mt: int, tb: int, scale: float,
         x_ext = cur.shape[-2]
         acc_re, acc_im = _stencil_accum(
             p, lat, mt, t_idx, m0, cur, tprev, tnext, cat,
-            _UgSlab(ug_ref, j),
+            _UgSlab(ug_ref, j), gcomp,
         )
         psi_o = psi_o_ref[:, :, :, j] if psi_o_ref is not None else None
+        blk = blk_ref[:, :, j] if blk_ref is not None else None
         out_ref[:, :, :, j] = _apply_epilogue(epi, scale, acc_re, acc_im, psi_o,
-                                              x_ext, mt)
+                                              x_ext, mt, blk)
 
 
 class _UgSlab:
@@ -392,7 +521,8 @@ class _UgSlab:
 
 @functools.lru_cache(maxsize=64)
 def _build_tb(p: int, lat: Lattice, mt: int, hw: int, tb: int, scale: float,
-              interpret: bool, epi: tuple = ("none",)):
+              interpret: bool, epi: tuple = ("none",),
+              gcomp: tuple | None = None):
     """Multi-slab builder: grid (T/tb, M/mt); thin 1-slab t-halo blocks at
     tb*t -/+ 1 replace the two full t-neighbor block reads of _build."""
     t_ext, x_ext = lat.dims[0], lat.dims[1]
@@ -402,11 +532,12 @@ def _build_tb(p: int, lat: Lattice, mt: int, hw: int, tb: int, scale: float,
     assert t_ext % tb == 0 and tb >= 2
     r = mt // hw
     nh = nmb * r
+    grow = 2 if gcomp is not None else 3
 
     psi_block = (2, 4, 3, tb, x_ext, mt)
     thalo_block = (2, 4, 3, 1, x_ext, mt)
     mhalo_block = (2, 4, 3, tb, x_ext, hw)
-    ug_block = (2, 8, 3, 3, tb, x_ext, mt)
+    ug_block = (2, 8, grow, 3, tb, x_ext, mt)
 
     def _mod(a, n: int):
         return jax.lax.rem(a, jnp.int32(n))
@@ -432,7 +563,13 @@ def _build_tb(p: int, lat: Lattice, mt: int, hw: int, tb: int, scale: float,
         ),
         pl.BlockSpec(ug_block, lambda t, j: (t - t, t - t, t - t, t - t, t, t - t, j)),
     ]
-    if epi[0] == "mhat":
+    needs_blk, needs_po = _epi_extras(epi)
+    if needs_blk:
+        blk_block = (2, 72, tb, x_ext, mt)
+        specs.append(
+            pl.BlockSpec(blk_block, lambda t, j: (t - t, t - t, t, t - t, j))
+        )
+    if needs_po:
         specs.append(
             pl.BlockSpec(psi_block, lambda t, j: (t - t, t - t, t - t, t, t - t, j))
         )
@@ -440,20 +577,20 @@ def _build_tb(p: int, lat: Lattice, mt: int, hw: int, tb: int, scale: float,
 
     flops_site = 1320
     sites = lat.volume // 2
+    ug_b = 192 * grow
+    extra_b = (576 if needs_blk else 0) + (96 if needs_po else 0)
     cost = pl.CostEstimate(
         flops=flops_site * sites,
-        bytes_accessed=int((576 + (tb + 2) / tb * 96 + 96) * sites),
+        bytes_accessed=int((ug_b + extra_b + (tb + 2) / tb * 96 + 96) * sites),
         transcendentals=0,
     )
-    kernel = functools.partial(_dslash_kernel_tb, p, lat, mt, tb, scale, epi)
+    kernel = functools.partial(_dslash_kernel_tb, p, lat, mt, tb, scale, epi,
+                               gcomp)
     kw = {}
     if not interpret:
-        import os
-
-        # the default scoped-vmem limit (16 MiB) cuts tb=2 at mt=128/X=32 by
-        # ~0.5 MiB; raise the per-kernel cap (physical VMEM permitting)
-        lim = int(os.environ.get("TMLQCD_TPU_VMEM_LIMIT_MB", "20")) * 2**20
-        kw["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=lim)
+        # the default scoped-vmem limit (16 MiB) is too small for the
+        # multi-slab working sets; raise the per-kernel cap
+        kw["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit())
     return pl.pallas_call(
         kernel,
         grid=(t_ext // tb, nmb),
@@ -466,27 +603,42 @@ def _build_tb(p: int, lat: Lattice, mt: int, hw: int, tb: int, scale: float,
     )
 
 
-def _pick_tb(lat: Lattice, mt: int, hw: int, vmem_budget: int) -> int:
+def _pick_tb(lat: Lattice, mt: int, hw: int, vmem_budget: int,
+             compressed: bool = False, blocks: bool = False) -> int:
     """Largest multi-slab factor tb (t-slabs per grid step) that divides T
     and fits the VMEM budget; 1 = the single-slab kernel.  Bigger tb cuts
-    psi traffic ((tb+2)/tb re-reads) at the cost of tb x the ug block."""
+    psi traffic ((tb+2)/tb re-reads) at the cost of tb x the ug block.
+
+    Measured on v5e at 32^3x64: plain 18-real gauge -> tb=2 best (1152 GF/s;
+    tb=4's 33 MB working set degrades pipelining, 891 GF/s); 12-real
+    compressed gauge -> tb=4 best (1392 GF/s = 98.9% of the 768 B/site
+    roofline model, working set 28.6 MB) vs tb=2 (1337)."""
     import os
 
     env = os.environ.get("TMLQCD_TPU_TB")
     if env is not None:
         return max(int(env), 1)
     t_ext, x = lat.dims[0], lat.dims[1]
-    # tb=2 measured fastest on v5e at 32^3x64 (1152 vs 1048 GF/s, 81.8%
-    # roofline); tb=4 fits with a raised per-kernel vmem limit but the
-    # 33 MB working set degrades pipelining (891 GF/s) — so auto caps at 2
-    # and larger values are opt-in via TMLQCD_TPU_TB.
-    lim = int(os.environ.get("TMLQCD_TPU_VMEM_LIMIT_MB", "20")) * 2**20
-    tb = 2
-    if t_ext % tb == 0:
-        work = x * mt * ((tb + 2) * 96 + tb * 576 + tb * 96) + 2 * 96 * x * hw * tb
+    lim = _vmem_limit()
+    ug_f = 96 if compressed else 144
+    blk_b = 576 if blocks else 0
+    for tb in ((4, 2) if compressed else (2,)):
+        if t_ext % tb:
+            continue
+        work = (x * mt * ((tb + 2) * 96 + tb * ug_f * 4 + tb * (96 + blk_b))
+                + 2 * 96 * x * hw * tb)
         if 2 * work <= max(lim, vmem_budget):
             return tb
     return 1
+
+
+def _vmem_limit() -> int:
+    """Per-kernel scoped-VMEM cap (bytes).  32 MB default: tb=4 compressed
+    needs 28.6 MB; a higher cap than demand is harmless (it is a limit,
+    not an allocation)."""
+    import os
+
+    return int(os.environ.get("TMLQCD_TPU_VMEM_LIMIT_MB", "32")) * 2**20
 
 
 def _pick_tiles(lat: Lattice, vmem_budget: int) -> tuple[int, int]:
@@ -515,17 +667,18 @@ def _pick_tiles(lat: Lattice, vmem_budget: int) -> tuple[int, int]:
 
 @functools.lru_cache(maxsize=64)
 def _build(p: int, lat: Lattice, mt: int, hw: int, scale: float, interpret: bool,
-           epi: tuple = ("none",)):
+           epi: tuple = ("none",), gcomp: tuple | None = None):
     t_ext, x_ext = lat.dims[0], lat.dims[1]
     m = lat.m
     nmb = m // mt
     assert mt % hw == 0 and m % mt == 0 and hw >= min(lat.zh, mt)
 
     r = mt // hw  # halo blocks per tile
+    grow = 2 if gcomp is not None else 3
 
     psi_block = (2, 4, 3, 1, x_ext, mt)
     halo_block = (2, 4, 3, 1, x_ext, hw)
-    ug_block = (2, 8, 3, 3, 1, x_ext, mt)
+    ug_block = (2, 8, grow, 3, 1, x_ext, mt)
 
     def _mod(a, n: int):
         # pure-int32 modulus: under x64, `a % python_int` promotes to i64,
@@ -560,7 +713,13 @@ def _build(p: int, lat: Lattice, mt: int, hw: int, scale: float, interpret: bool
             ug_block, lambda t, j: (t - t, t - t, t - t, t - t, t, t - t, j)
         ),
     ]
-    if epi[0] == "mhat":
+    needs_blk, needs_po = _epi_extras(epi)
+    if needs_blk:
+        blk_block = (2, 72, 1, x_ext, mt)
+        specs.append(
+            pl.BlockSpec(blk_block, lambda t, j: (t - t, t - t, t, t - t, j))
+        )
+    if needs_po:
         specs.append(
             pl.BlockSpec(psi_block, lambda t, j: (t - t, t - t, t - t, t, t - t, j))
         )
@@ -568,13 +727,15 @@ def _build(p: int, lat: Lattice, mt: int, hw: int, scale: float, interpret: bool
 
     flops_site = 1320
     sites = lat.volume // 2
+    extra_b = (576 if needs_blk else 0) + (96 if needs_po else 0)
     cost = pl.CostEstimate(
         flops=flops_site * sites,
-        bytes_accessed=(576 + 3 * 96 + 96) * sites,
+        bytes_accessed=(192 * grow + extra_b + 3 * 96 + 96) * sites,
         transcendentals=0,
     )
 
-    kernel = functools.partial(_dslash_kernel, p, lat, mt, nmb, scale, epi)
+    kernel = functools.partial(_dslash_kernel, p, lat, mt, nmb, scale, epi,
+                               gcomp)
     return pl.pallas_call(
         kernel,
         grid=(t_ext, nmb),
@@ -596,6 +757,8 @@ def hopping_pallas_split(
     scale: float = 1.0,
     epi: tuple = ("none",),
     psi_o: jax.Array | None = None,
+    gcomp: tuple | None = None,
+    blocks: jax.Array | None = None,
 ) -> jax.Array:
     """(scale * H_{p,q}) psi_q on split-f32 fields, optionally with the
     even/odd diagonal FUSED into the kernel epilogue (see _apply_epilogue —
@@ -609,6 +772,12 @@ def hopping_pallas_split(
     avoiding a separate elementwise HBM pass (+192 B/site).
     epi=("mhat", mutld, sign, k2, g5) additionally needs `psi_o`, the
     original same-parity input of the Schur complement.
+    epi=("clov_inv",) / ("clov_mhat", k2, g5) additionally need `blocks`,
+    the flattened split clover blocks [2, 72, T, X, M] (see _blk_matvec for
+    the k-order; clov_mhat also needs psi_o) — the sw_term diagonal fused
+    like the twisted-mass one (reference: clovertm_operators.c).
+    gcomp (from gauge_corr(phases)): ug_p is the 12-real compressed copy
+    compress_ug(...) [2,8,2,3,T,X,M]; row 2 is reconstructed in-kernel.
     """
     import os
 
@@ -620,16 +789,24 @@ def hopping_pallas_split(
         mt = mt_auto
     if mt == lat.m and (lat.m % 128 != 0 or lat.m < 256):
         hw = lat.m
-    tb = _pick_tb(lat, int(mt), int(hw), budget)
+    gc = tuple(gcomp) if gcomp is not None else None
+    needs_blk, needs_po = _epi_extras(tuple(epi))
+    tb = _pick_tb(lat, int(mt), int(hw), budget, compressed=gc is not None,
+                  blocks=needs_blk)
     if tb > 1:
         call = _build_tb(p, lat, int(mt), int(hw), tb, float(scale), interpret,
-                         tuple(epi))
+                         tuple(epi), gc)
     else:
-        call = _build(p, lat, int(mt), int(hw), float(scale), interpret, tuple(epi))
-    if epi[0] == "mhat":
+        call = _build(p, lat, int(mt), int(hw), float(scale), interpret,
+                      tuple(epi), gc)
+    args = [psi_q, psi_q, psi_q, psi_q, psi_q, ug_p]
+    if needs_blk:
+        assert blocks is not None
+        args.append(blocks)
+    if needs_po:
         assert psi_o is not None
-        return call(psi_q, psi_q, psi_q, psi_q, psi_q, ug_p, psi_o)
-    return call(psi_q, psi_q, psi_q, psi_q, psi_q, ug_p)
+        args.append(psi_o)
+    return call(*args)
 
 
 def hopping_pallas(
@@ -811,6 +988,7 @@ def hopping_pallas_tshard(
 
 
 def _shard_kernel(p: int, lat_loc: Lattice, scale: float, t_off: int,
+                  gcomp: tuple | None,
                   psi_c_ref, psi_tp_ref, psi_tn_ref, mh_lo_ref, mh_hi_ref,
                   ug_ref, out_ref):
     """One local t-slab with EXPLICIT halos: t-neighbors come from separate
@@ -824,12 +1002,13 @@ def _shard_kernel(p: int, lat_loc: Lattice, scale: float, t_off: int,
     mt = cur.shape[-1]
     x_ext = cur.shape[-2]
     acc_re, acc_im = _stencil_accum(p, lat_loc, mt, t_idx, 0, cur, tprev, tnext,
-                                    cat, ug_ref)
+                                    cat, ug_ref, gcomp)
     out_ref[:, :, :, 0] = _apply_epilogue(("none",), scale, acc_re, acc_im, None,
                                           x_ext, mt)
 
 
 def _shard_bnd_kernel(p: int, lat_loc: Lattice, scale: float,
+                      gcomp: tuple | None,
                       psi_c_ref, psi_nb_ref, th_ref, mh_lo_ref, mh_hi_ref,
                       ug_ref, out_ref):
     """The two t-boundary slabs (grid index b: 0 = lower edge t=0, 1 = upper
@@ -848,20 +1027,21 @@ def _shard_bnd_kernel(p: int, lat_loc: Lattice, scale: float,
     mt = cur.shape[-1]
     x_ext = cur.shape[-2]
     acc_re, acc_im = _stencil_accum(p, lat_loc, mt, t_idx, 0, cur, tprev, tnext,
-                                    cat, ug_ref)
+                                    cat, ug_ref, gcomp)
     out_ref[:, :, :, 0] = _apply_epilogue(("none",), scale, acc_re, acc_im, None,
                                           x_ext, mt)
 
 
 @functools.lru_cache(maxsize=64)
-def _build_shard_ext(p: int, lat_loc: Lattice, scale: float, interpret: bool):
+def _build_shard_ext(p: int, lat_loc: Lattice, scale: float, interpret: bool,
+                     gcomp: tuple | None = None):
     """Non-overlap sharded call: psi_ext [., t_loc+2, X, m_loc] (t-halos
     concatenated), mh_lo/mh_hi [., t_loc, X, zh]."""
     t_loc, x_ext = lat_loc.dims[0], lat_loc.dims[1]
     m_loc, zh = lat_loc.m, lat_loc.zh
     psi_block = (2, 4, 3, 1, x_ext, m_loc)
     mh_block = (2, 4, 3, 1, x_ext, zh)
-    ug_block = (2, 8, 3, 3, 1, x_ext, m_loc)
+    ug_block = (2, 8, 2 if gcomp is not None else 3, 3, 1, x_ext, m_loc)
     a1 = lambda t: jax.lax.add(t, jnp.int32(1))
     a2 = lambda t: jax.lax.add(t, jnp.int32(2))
     specs = [
@@ -873,7 +1053,7 @@ def _build_shard_ext(p: int, lat_loc: Lattice, scale: float, interpret: bool):
         pl.BlockSpec(ug_block, lambda t: (t - t, t - t, t - t, t - t, t, t - t, t - t)),
     ]
     out_spec = pl.BlockSpec(psi_block, lambda t: (t - t, t - t, t - t, t, t - t, t - t))
-    kernel = functools.partial(_shard_kernel, p, lat_loc, scale, 0)
+    kernel = functools.partial(_shard_kernel, p, lat_loc, scale, 0, gcomp)
     return pl.pallas_call(
         kernel,
         grid=(t_loc,),
@@ -885,7 +1065,8 @@ def _build_shard_ext(p: int, lat_loc: Lattice, scale: float, interpret: bool):
 
 
 @functools.lru_cache(maxsize=64)
-def _build_shard_int(p: int, lat_loc: Lattice, scale: float, interpret: bool):
+def _build_shard_int(p: int, lat_loc: Lattice, scale: float, interpret: bool,
+                     gcomp: tuple | None = None):
     """Interior slabs t = 1 .. t_loc-2: NO dependence on the t-halos, so this
     call overlaps with the halo ppermutes (the Hopping_Matrix_nocom piece)."""
     t_loc, x_ext = lat_loc.dims[0], lat_loc.dims[1]
@@ -893,7 +1074,7 @@ def _build_shard_int(p: int, lat_loc: Lattice, scale: float, interpret: bool):
     assert t_loc >= 3
     psi_block = (2, 4, 3, 1, x_ext, m_loc)
     mh_block = (2, 4, 3, 1, x_ext, zh)
-    ug_block = (2, 8, 3, 3, 1, x_ext, m_loc)
+    ug_block = (2, 8, 2 if gcomp is not None else 3, 3, 1, x_ext, m_loc)
     a1 = lambda t: jax.lax.add(t, jnp.int32(1))
     a2 = lambda t: jax.lax.add(t, jnp.int32(2))
     specs = [
@@ -905,7 +1086,7 @@ def _build_shard_int(p: int, lat_loc: Lattice, scale: float, interpret: bool):
         pl.BlockSpec(ug_block, lambda t: (t - t, t - t, t - t, t - t, a1(t), t - t, t - t)),
     ]
     out_spec = pl.BlockSpec(psi_block, lambda t: (t - t, t - t, t - t, t, t - t, t - t))
-    kernel = functools.partial(_shard_kernel, p, lat_loc, scale, 1)
+    kernel = functools.partial(_shard_kernel, p, lat_loc, scale, 1, gcomp)
     return pl.pallas_call(
         kernel,
         grid=(t_loc - 2,),
@@ -917,14 +1098,15 @@ def _build_shard_int(p: int, lat_loc: Lattice, scale: float, interpret: bool):
 
 
 @functools.lru_cache(maxsize=64)
-def _build_shard_bnd(p: int, lat_loc: Lattice, scale: float, interpret: bool):
+def _build_shard_bnd(p: int, lat_loc: Lattice, scale: float, interpret: bool,
+                     gcomp: tuple | None = None):
     """The two t-surface slabs (depends on the t-halos; runs after the
     ppermutes land, concurrently with nothing it needn't wait for)."""
     t_loc, x_ext = lat_loc.dims[0], lat_loc.dims[1]
     m_loc, zh = lat_loc.m, lat_loc.zh
     psi_block = (2, 4, 3, 1, x_ext, m_loc)
     mh_block = (2, 4, 3, 1, x_ext, zh)
-    ug_block = (2, 8, 3, 3, 1, x_ext, m_loc)
+    ug_block = (2, 8, 2 if gcomp is not None else 3, 3, 1, x_ext, m_loc)
     edge = lambda b: jax.lax.mul(b, jnp.int32(t_loc - 1))
     nbr = lambda b: jax.lax.add(jax.lax.mul(b, jnp.int32(t_loc - 3)), jnp.int32(1))
     specs = [
@@ -936,7 +1118,7 @@ def _build_shard_bnd(p: int, lat_loc: Lattice, scale: float, interpret: bool):
         pl.BlockSpec(ug_block, lambda b: (b - b, b - b, b - b, b - b, edge(b), b - b, b - b)),
     ]
     out_spec = pl.BlockSpec(psi_block, lambda b: (b - b, b - b, b - b, b, b - b, b - b))
-    kernel = functools.partial(_shard_bnd_kernel, p, lat_loc, scale)
+    kernel = functools.partial(_shard_bnd_kernel, p, lat_loc, scale, gcomp)
     return pl.pallas_call(
         kernel,
         grid=(2,),
@@ -959,6 +1141,7 @@ def hopping_pallas_shard(
     scale: float = 1.0,
     halfspinor: bool = True,
     overlap: bool = True,
+    gcomp: tuple | None = None,
 ) -> jax.Array:
     """Domain-decomposed H_{p,q}: t over mesh[t_axis] and (optionally) y
     over mesh[m_axis] — the PARALLELXT analog of the reference's 2D MPI
@@ -1023,13 +1206,14 @@ def hopping_pallas_shard(
             psi_l, t_axis, fwd_t, bwd_t,
             lambda x: x[:, :, :, -1:], lambda x: x[:, :, :, :1], wf0, wb0, True,
         )
+        gc = tuple(gcomp) if gcomp is not None else None
         if use_split:
             th = jnp.concatenate([th_lo, th_hi], axis=3)  # [2,4,3,2,X,m_loc]
-            bnd = _build_shard_bnd(p, lat_loc, float(scale), interpret)(
+            bnd = _build_shard_bnd(p, lat_loc, float(scale), interpret, gc)(
                 psi_l, psi_l, th, mh_lo, mh_hi, ug_l
             )
             if t_loc > 2:
-                inner = _build_shard_int(p, lat_loc, float(scale), interpret)(
+                inner = _build_shard_int(p, lat_loc, float(scale), interpret, gc)(
                     psi_l, psi_l, psi_l, mh_lo, mh_hi, ug_l
                 )
                 return jnp.concatenate(
@@ -1037,7 +1221,7 @@ def hopping_pallas_shard(
                 )
             return bnd
         ext = jnp.concatenate([th_lo, psi_l, th_hi], axis=3)
-        return _build_shard_ext(p, lat_loc, float(scale), interpret)(
+        return _build_shard_ext(p, lat_loc, float(scale), interpret, gc)(
             ext, ext, ext, mh_lo, mh_hi, ug_l
         )
 

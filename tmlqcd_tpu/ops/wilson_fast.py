@@ -30,34 +30,57 @@ __all__ = ["FastGauge", "make_fast_gauge", "q_hat_pm_fast", "q_hat_fast", "to_sp
 @dataclasses.dataclass(frozen=True)
 class FastGauge:
     """Pre-gathered split gauge for the Pallas dslash: ug[p] f32
-    [2, 8, 3, 3, T, X, M] for each output parity p."""
+    [2, 8, 3, 3, T, X, M] for each output parity p — or the 12-real
+    compressed copy [2, 8, 2, 3, T, X, M] when gcomp (static row-2
+    reconstruction constants from dp.gauge_corr) is set."""
 
     ug_even: jax.Array
     ug_odd: jax.Array
+    gcomp: tuple | None = None
 
 
 jax.tree_util.register_dataclass(
-    FastGauge, data_fields=["ug_even", "ug_odd"], meta_fields=[]
+    FastGauge, data_fields=["ug_even", "ug_odd"], meta_fields=["gcomp"]
 )
 
 
+def default_compress() -> bool:
+    """Production default for the 12-real compressed gauge copy (on; set
+    TMLQCD_TPU_GCOMP=0 to stream full 18-real links)."""
+    import os
+
+    return os.environ.get("TMLQCD_TPU_GCOMP", "1") != "0"
+
+
 def make_fast_gauge(
-    u: jax.Array, params: DiracParams, lat: Lattice, sloppy: bool = False
+    u: jax.Array, params: DiracParams, lat: Lattice, sloppy: bool = False,
+    compress: bool | None = None,
 ) -> FastGauge:
     """Full gauge [3,3,4,T,X,Mf] complex -> FastGauge (once per gauge
     update; reference: update_backward_gauge()).
 
     sloppy=True stores the gathered links in bfloat16 — the TPU analog of
     the reference's `_32` sloppy gauge copies (halfspinor32): halves the
-    dominant dslash HBM stream; pair with mixed_cg defect correction."""
+    dominant dslash HBM stream; pair with mixed_cg defect correction.
+    compress=True stores only the first two link rows (12 reals; the kernel
+    reconstructs row 2 as phase-corrected conj(r0 x r1) — exact for SU(3)
+    links up to rounding): cuts the dominant stream by another third.
+    Both compose: sloppy+compress = 192 B/site of gauge vs 576 plain."""
+    if compress is None:
+        compress = default_compress()
     ph = boundary_phases(params, lat)
     ueo = pack_gauge_eo(u, lat)
     ug = dp.gauge_copy(ueo, lat, ph)
     gdt = jnp.bfloat16 if sloppy else jnp.float32
-    return FastGauge(
-        ug_even=dp.split_c(ug[EVEN]).astype(gdt),
-        ug_odd=dp.split_c(ug[ODD]).astype(gdt),
-    )
+    ug_e = dp.split_c(ug[EVEN]).astype(gdt)
+    ug_o = dp.split_c(ug[ODD]).astype(gdt)
+    if compress:
+        return FastGauge(
+            ug_even=dp.compress_ug(ug_e),
+            ug_odd=dp.compress_ug(ug_o),
+            gcomp=dp.gauge_corr(ph),
+        )
+    return FastGauge(ug_even=ug_e, ug_odd=ug_o)
 
 
 def to_split(psi: jax.Array) -> jax.Array:
@@ -110,12 +133,14 @@ def m_hat_fast(
     tmp = dp.hopping_pallas_split(
         fg.ug_even, psi2_o, EVEN, lat, interpret=interp,
         epi=("mee_inv", float(params.mutld), float(sign)),
+        gcomp=fg.gcomp,
     )
     return dp.hopping_pallas_split(
         fg.ug_odd, tmp, ODD, lat, interpret=interp,
         epi=("mhat", float(params.mutld), float(sign),
              float(params.kappa * params.kappa), bool(g5)),
         psi_o=psi2_o,
+        gcomp=fg.gcomp,
     )
 
 
@@ -163,6 +188,7 @@ def m_hat_fast_shard(
     hop = lambda ug, x, p: dp.hopping_pallas_shard(
         ug, x, p, lat, mesh, t_axis=t_axis, m_axis=m_axis,
         interpret=interp, halfspinor=halfspinor, overlap=overlap,
+        gcomp=fg.gcomp,
     )
     tmp = hop(fg.ug_even, psi2_o, EVEN)
     tmp = _mee_inv_split(tmp, params.mutld, sign)
@@ -230,8 +256,10 @@ def _hop_nd(fg: FastGauge, chi2: jax.Array, p: int, lat: Lattice) -> jax.Array:
     ug = fg.ug_even if p == EVEN else fg.ug_odd
     return jnp.stack(
         [
-            dp.hopping_pallas_split(ug, chi2[:, 0], p, lat, interpret=interp),
-            dp.hopping_pallas_split(ug, chi2[:, 1], p, lat, interpret=interp),
+            dp.hopping_pallas_split(ug, chi2[:, 0], p, lat, interpret=interp,
+                                    gcomp=fg.gcomp),
+            dp.hopping_pallas_split(ug, chi2[:, 1], p, lat, interpret=interp,
+                                    gcomp=fg.gcomp),
         ],
         axis=1,
     )
@@ -262,8 +290,11 @@ def q_nd_sq_fast(fg: FastGauge, chi2: jax.Array, params, lat: Lattice) -> jax.Ar
 class FastClover:
     """Pre-gathered gauge + materialized clover blocks (split f32):
     moo[sign] = M_oo(+-) blocks, mee_inv[sign] = M_ee(+-)^{-1} blocks,
-    each [2(ri), 2(chir), 2, 2, 3, 3, T, X, M] — built once per gauge
-    (reference: sw_term + sw_invert refresh discipline)."""
+    each in the FLATTENED kernel layout [2(ri), 72, T, X, M] (row-major
+    flatten of [chir, s, sp, c, cp] — dslash_pallas._blk_matvec order) so
+    they stream straight into the fused clov_inv/clov_mhat kernel
+    epilogues — built once per gauge (reference: sw_term + sw_invert
+    refresh discipline)."""
 
     fg: FastGauge
     moo_p: jax.Array
@@ -288,7 +319,7 @@ def make_fast_clover(
     from tmlqcd_tpu.ops import clover as cl
 
     sw_e, sw_o = cl.sw_blocks_eo(u, params.kappa, params.c_sw, lat)
-    sp = lambda x: dp.split_c(x).astype(jnp.float32)
+    sp = lambda x: _blk_flatten(dp.split_c(x).astype(jnp.float32))
     return FastClover(
         fg=make_fast_gauge(u, params, lat, sloppy=sloppy),
         moo_p=sp(cl.mee_blocks(sw_o, params.mutld, +1.0)),
@@ -296,6 +327,15 @@ def make_fast_clover(
         mee_inv_p=sp(cl.mee_inv_blocks(sw_e, params.mutld, +1.0)),
         mee_inv_m=sp(cl.mee_inv_blocks(sw_e, params.mutld, -1.0)),
     )
+
+
+def _blk_flatten(blk2: jax.Array) -> jax.Array:
+    """[2, 2, 2, 2, 3, 3, *site] -> the kernel's [2, 72, *site] layout."""
+    return blk2.reshape((2, 72) + blk2.shape[6:])
+
+
+def _blk_unflatten(blk: jax.Array) -> jax.Array:
+    return blk.reshape((2, 2, 2, 2, 3, 3) + blk.shape[2:])
 
 
 def _blocks_apply_split(blk2: jax.Array, psi2: jax.Array) -> jax.Array:
@@ -329,21 +369,35 @@ def m_hat_clover_fast(
     fc: FastClover, psi2_o: jax.Array, params: DiracParams, lat: Lattice, sign: float = +1.0
 ) -> jax.Array:
     """Clover Schur complement on split fields (reference: Msw of
-    clovertm_operators.c): M_oo(+-) psi - k^2 H_oe M_ee(+-)^{-1} H_eo psi."""
+    clovertm_operators.c): M_oo(+-) psi - k^2 H_oe M_ee(+-)^{-1} H_eo psi.
+
+    Both clover-block applications are FUSED into the hopping kernels'
+    epilogues (clov_inv / clov_mhat): the reference runs clover_inv and
+    clover_gamma5 as separate site loops after Hopping_Matrix — fusing
+    saves two full spinor HBM round-trips per Schur application."""
+    return _m_hat_clover_fused(fc, psi2_o, params, lat, sign, g5=False)
+
+
+def _m_hat_clover_fused(
+    fc: FastClover, psi2_o: jax.Array, params: DiracParams, lat: Lattice,
+    sign: float, g5: bool
+) -> jax.Array:
     interp = _interpret()
-    k2 = jnp.float32(params.kappa * params.kappa)
+    k2 = float(params.kappa * params.kappa)
     mee_inv = fc.mee_inv_p if sign > 0 else fc.mee_inv_m
     moo = fc.moo_p if sign > 0 else fc.moo_m
-    tmp = dp.hopping_pallas_split(fc.fg.ug_even, psi2_o, EVEN, lat, interpret=interp)
-    tmp = _blocks_apply_split(mee_inv, tmp)
-    tmp = dp.hopping_pallas_split(fc.fg.ug_odd, tmp, ODD, lat, interpret=interp)
-    return _blocks_apply_split(moo, psi2_o) - k2 * tmp
+    tmp = dp.hopping_pallas_split(fc.fg.ug_even, psi2_o, EVEN, lat, interpret=interp,
+                                  epi=("clov_inv",), blocks=mee_inv,
+                                  gcomp=fc.fg.gcomp)
+    return dp.hopping_pallas_split(fc.fg.ug_odd, tmp, ODD, lat, interpret=interp,
+                                   epi=("clov_mhat", k2, g5), blocks=moo,
+                                   psi_o=psi2_o, gcomp=fc.fg.gcomp)
 
 
 def q_hat_clover_fast(
     fc: FastClover, psi2_o: jax.Array, params: DiracParams, lat: Lattice, sign: float = +1.0
 ) -> jax.Array:
-    return _gamma5(m_hat_clover_fast(fc, psi2_o, params, lat, sign))
+    return _m_hat_clover_fused(fc, psi2_o, params, lat, sign, g5=True)
 
 
 def q_hat_pm_clover_fast(

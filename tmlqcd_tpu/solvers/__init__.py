@@ -6,6 +6,7 @@ rational/rational.c, monomial_solve.c dispatch)."""
 from tmlqcd_tpu.solvers.cg import cg, cg_info  # noqa: F401
 from tmlqcd_tpu.solvers.multishift import cg_multishift  # noqa: F401
 from tmlqcd_tpu.solvers.bicgstab import bicgstab  # noqa: F401
+from tmlqcd_tpu.solvers.cgs import cgs  # noqa: F401
 from tmlqcd_tpu.solvers.mixed_cg import mixed_cg  # noqa: F401
 from tmlqcd_tpu.solvers.krylov import fgmres, gcr, mr  # noqa: F401
 from tmlqcd_tpu.solvers.eigen import lambda_max, lambda_min, spectral_bounds  # noqa: F401

@@ -60,6 +60,13 @@ def _bicgstab(matvec, b, tol, maxiter, **kw):
     return r.x, r.iterations, r.residual_sq
 
 
+def _cgs(matvec, b, tol, maxiter, **kw):
+    from tmlqcd_tpu.solvers.cgs import cgs
+
+    r = cgs(matvec, b, tol=tol, maxiter=maxiter, x0=kw.get("x0"))
+    return r.x, r.iterations, r.residual_sq
+
+
 def _fgmres(matvec, b, tol, maxiter, **kw):
     from tmlqcd_tpu.solvers.krylov import fgmres
 
@@ -101,6 +108,7 @@ SOLVERS: dict[str, Callable] = {
     "mixedcg": _mixedcg,
     "rgmixedcg": _rgmixedcg,
     "bicgstab": _bicgstab,
+    "cgs": _cgs,
     "fgmres": _fgmres,
     "gmres": _fgmres,
     "gcr": _gcr,

@@ -32,6 +32,7 @@ __all__ = [
     "ta_project",
     "expm_ta",
     "project_su3",
+    "project_su3_polar",
     "random_momenta",
     "kinetic_energy",
     "random_su3",
@@ -125,6 +126,48 @@ def project_su3(m: jax.Array) -> jax.Array:
     u1 = v1 / n1
     u2 = jnp.conj(jnp.cross(u0, u1, axisa=0, axisb=0, axisc=0))
     return jnp.stack([u0, u1, u2], axis=0)
+
+
+def _inv3(m: jax.Array) -> jax.Array:
+    """Adjugate inverse of a 3x3 over leading axes (unrolled, layout-safe
+    like `mul` — no linalg batching that would re-tile the site dims)."""
+    c = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        i1, i2 = (i + 1) % 3, (i + 2) % 3
+        for j in range(3):
+            j1, j2 = (j + 1) % 3, (j + 2) % 3
+            c[i][j] = m[i1, j1] * m[i2, j2] - m[i1, j2] * m[i2, j1]
+    det = m[0, 0] * c[0][0] + m[0, 1] * c[0][1] + m[0, 2] * c[0][2]
+    # adjugate = cofactor^T
+    return jnp.stack([jnp.stack([c[j][i] for j in range(3)]) for i in range(3)]) / det
+
+
+def project_su3_polar(m: jax.Array, iters: int = 9) -> jax.Array:
+    """Gauge-COVARIANT projection onto SU(3): the unitary polar factor
+    W = m (m^+ m)^{-1/2} via the Newton iteration X <- (X + (X^+)^{-1})/2,
+    then the determinant phase is rotated out (W / det(W)^{1/3}).
+
+    Unlike `project_su3` (Gram-Schmidt — cheap, but NOT equivariant under
+    U -> g U h^+), the polar factor satisfies P(g m h^+) = g P(m) h^+, which
+    link-smearing (APE/stout-like algorithms, reference: smearing in
+    measurement code) requires for gauge covariance of the smeared
+    observables.  Newton converges quadratically for the near-unitary sums
+    these produce; `iters` is a static safety margin."""
+    # Frobenius pre-scaling keeps the first iterations contractive even for
+    # badly scaled inputs (alpha-weighted staple sums).
+    n = jnp.sqrt(jnp.sum(jnp.abs(m) ** 2, axis=(0, 1), keepdims=False) / 3.0)
+    x = m / n
+    for _ in range(iters):
+        x = 0.5 * (x + _inv3(adj(x)))
+    # det(x) is now a pure phase; rotate it away for det = +1 exactly.
+    det = (
+        x[0, 0] * (x[1, 1] * x[2, 2] - x[1, 2] * x[2, 1])
+        - x[0, 1] * (x[1, 0] * x[2, 2] - x[1, 2] * x[2, 0])
+        + x[0, 2] * (x[1, 0] * x[2, 1] - x[1, 1] * x[2, 0])
+    )
+    phase = jnp.angle(det) / 3.0
+    rot = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase)).astype(x.dtype)
+    return x * rot
 
 
 def random_momenta(key: jax.Array, batch_shape: tuple, dtype=jnp.complex64) -> jax.Array:

@@ -13,7 +13,13 @@ import contextlib
 import os
 import time
 
-__all__ = ["set_debug_level", "debug_printf", "timer", "trace"]
+__all__ = [
+    "set_debug_level",
+    "debug_printf",
+    "timer",
+    "trace",
+    "enable_persistent_compile_cache",
+]
 
 _DEBUG_LEVEL = int(os.environ.get("TMLQCD_TPU_DEBUG", "1"))
 
@@ -70,3 +76,23 @@ def to_host(x):
         a = np.asarray(ri)
         return np.ascontiguousarray(a[0] + 1j * a[1])
     return np.asarray(x)
+
+
+def enable_persistent_compile_cache(cache_dir: str | None = None) -> None:
+    """Point jax's persistent compilation cache at a repo-local directory so
+    driver entry points (bench, hmc, invert) don't pay the cold-XLA cost on
+    every invocation (first 32^3x64 kernel compile through the remote TPU
+    tunnel is minutes; cached reruns are instant).  No-op if already set."""
+    import jax
+
+    if cache_dir is None:
+        import tmlqcd_tpu
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(tmlqcd_tpu.__file__)))
+        cache_dir = os.path.join(root, ".jax_cache_tpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
