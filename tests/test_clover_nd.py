@@ -105,3 +105,24 @@ def test_ndrat_clover_fast_solve_matches_jnp(monkeypatch):
     monkeypatch.setenv("TMLQCD_TPU_FAST_SOLVES", "1")
     s_fast = float(mono.action(u, phi))
     assert abs(s_fast - s_jnp) / abs(s_jnp) < 1e-4, (s_fast, s_jnp)
+
+
+def test_ndrat_clover_fast_force_matches_jnp(monkeypatch):
+    """NDCLOVERRAT MD force: the kernel-VJP hybrid surrogate (hoppings on
+    the Pallas custom VJP, clover blocks via jnp AD — q_nd_clover_diff) ==
+    full jnp AD of the clover-ND operator."""
+    from tmlqcd_tpu.hmc.rational_monomials import NDRatMonomial
+
+    u, _ = _fields(jnp.complex64)
+    mono = NDRatMonomial(
+        lat=LAT, params=PARAMS, order=4, s_min=5e-3, s_max=6.0,
+        acc_tol=1e-7, force_tol=1e-7, maxiter=1500,
+    )
+    phi, _ = mono.heatbath(u, jax.random.key(11))
+    monkeypatch.delenv("TMLQCD_TPU_FAST_SOLVES", raising=False)
+    f_jnp = mono.force(u, phi)
+    monkeypatch.setenv("TMLQCD_TPU_FAST_SOLVES", "1")
+    f_fast = mono.force(u, phi)
+    scale = float(jnp.max(jnp.abs(f_jnp)))
+    err = float(jnp.max(jnp.abs(f_fast - f_jnp))) / scale
+    assert err < 2e-3, (err, scale)

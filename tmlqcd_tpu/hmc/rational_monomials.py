@@ -155,32 +155,49 @@ class NDRatMonomial:
         from tmlqcd_tpu.hmc.monomials import _use_fast_solves
 
         rat = self.rat
-        if self.params.c_sw == 0.0 and _use_fast_solves():
+        if _use_fast_solves():
             # multishift solve AND the per-pole surrogate gradients on the
-            # Pallas kernels (hopping custom VJP); xs/ys stay split-f32
+            # Pallas kernels (hopping custom VJP); xs/ys stay split-f32.
+            # With clover the gauge-copy part of the gradient rides the
+            # kernel VJP while the clover-block part (sw_deriv_nd analog)
+            # flows through jnp AD of the materialized blocks.
             from tmlqcd_tpu.ops import wilson_fast as wf
 
-            fg = wf.make_fast_gauge(u, self.params.wilson, self.lat)
-            mv = lambda c2: wf.q_nd_sq_fast(fg, c2, self.params, self.lat)
+            clov = self.params.c_sw != 0.0
+            if clov:
+                fc = wf.make_fast_clover_nd(u, self.params, self.lat)
+                mv = lambda c2: wf.q_nd_sq_clover_fast(fc, c2, self.params, self.lat)
+                yop = lambda x2: wf.q_nd_clover_fast(fc, x2, self.params, self.lat)
+            else:
+                fg = wf.make_fast_gauge(u, self.params.wilson, self.lat)
+                mv = lambda c2: wf.q_nd_sq_fast(fg, c2, self.params, self.lat)
+                yop = lambda x2: wf.q_nd_fast(fg, x2, self.params, self.lat)
             res = cg_multishift(
                 mv, wf.to_split(phi), jnp.asarray(rat.sigma),
                 tol=self.force_tol, maxiter=self.maxiter,
             )
             xs2 = jax.lax.stop_gradient(res.x)
             ys2 = jax.lax.stop_gradient(
-                jnp.stack(
-                    [wf.q_nd_fast(fg, xs2[j], self.params, self.lat)
-                     for j in range(rat.order)]
-                )
+                jnp.stack([yop(xs2[j]) for j in range(rat.order)])
             )
 
             def surrogate(uu):
-                ug_e, ug_o = wf.split_gauge_pair(uu, self.params.wilson, self.lat)
+                if clov:
+                    parts = wf.split_clover_nd_pair(uu, self.params, self.lat)
+                    qop = lambda c2: wf.q_nd_clover_diff(
+                        *parts, c2, self.params, self.lat
+                    )
+                else:
+                    ug_e, ug_o = wf.split_gauge_pair(
+                        uu, self.params.wilson, self.lat
+                    )
+                    qop = lambda c2: wf.q_nd_diff(
+                        ug_e, ug_o, c2, self.params, self.lat
+                    )
                 s = jnp.asarray(0.0, jnp.float64)
                 for j in range(rat.order):
-                    qx = wf.q_nd_diff(ug_e, ug_o, xs2[j], self.params, self.lat)
                     s = s - 2.0 * jnp.asarray(rat.rho[j], jnp.float64) * (
-                        wf.dot_re_f64_split(ys2[j], qx)
+                        wf.dot_re_f64_split(ys2[j], qop(xs2[j]))
                     )
                 return s
 

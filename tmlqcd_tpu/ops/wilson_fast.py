@@ -595,3 +595,71 @@ def split_clover_pair(u: jax.Array, params: DiracParams, lat: Lattice, sign: flo
         sp(cl.mee_blocks(sw_o, params.mutld, sign)),
         sp(cl.mee_inv_blocks(sw_e, params.mutld, sign)),
     )
+
+
+def split_clover_nd_pair(u: jax.Array, params, lat: Lattice):
+    """Differentiable (ug_e, ug_o, moo_u, moo_d, minv_a, minv_b, minv_e)
+    split tensors as functions of the full gauge field — the non-degenerate
+    analog of split_clover_pair, for the NDCLOVERRAT force surrogate
+    (reference: sw_deriv_nd + the ndrat derivative in ndrat_monomial.c)."""
+    from tmlqcd_tpu.ops import clover as cl
+
+    ug_e, ug_o = split_gauge_pair(u, params.wilson, lat)
+    sw_e, sw_o = cl.sw_blocks_eo(u, params.kappa, params.c_sw, lat)
+    sp = lambda x: dp.split_c(x).astype(jnp.float32)
+    a, b, e = cl.mee_inv_nd_blocks(sw_e, params.mubar_t, params.epsbar_t, +1.0)
+    return (
+        ug_e,
+        ug_o,
+        sp(cl.mee_blocks(sw_o, params.mubar_t, +1.0)),
+        sp(cl.mee_blocks(sw_o, params.mubar_t, -1.0)),
+        sp(a),
+        sp(b),
+        sp(e),
+    )
+
+
+def q_nd_clover_diff(
+    ug_e: jax.Array,
+    ug_o: jax.Array,
+    moo_u: jax.Array,
+    moo_d: jax.Array,
+    minv_a: jax.Array,
+    minv_b: jax.Array,
+    minv_e: jax.Array,
+    chi2: jax.Array,
+    params,
+    lat: Lattice,
+) -> jax.Array:
+    """Q_nd^sw on split doublets, differentiable w.r.t. the gauge copies
+    (kernel VJP via dslash_pallas.hopping_diff) AND the materialized clover
+    blocks (jnp AD through sw_blocks/mee(_inv)_nd) — the ND analog of
+    q_hat_clover_diff, so the NDCLOVERRAT force runs on Pallas kernels
+    forward and backward."""
+    interp = _interpret()
+    k2 = jnp.float32(params.kappa * params.kappa)
+    eps = jnp.float32(params.epsbar_t)
+
+    def hop_diff(c2, p):
+        ug_p, ug_q = (ug_e, ug_o) if p == EVEN else (ug_o, ug_e)
+        return jnp.stack(
+            [
+                dp.hopping_diff(ug_p, ug_q, c2[:, 0], p, lat, interp),
+                dp.hopping_diff(ug_p, ug_q, c2[:, 1], p, lat, interp),
+            ],
+            axis=1,
+        )
+
+    tmp = hop_diff(chi2, EVEN)
+    # flavor-2x2 M_ee^{-1} = [[A, -eps E], [-eps E, B]] on even sites
+    up = _blocks_apply_split(minv_a, tmp[:, 0]) - eps * _blocks_apply_split(
+        minv_e, tmp[:, 1]
+    )
+    dn = _blocks_apply_split(minv_b, tmp[:, 1]) - eps * _blocks_apply_split(
+        minv_e, tmp[:, 0]
+    )
+    tmp = hop_diff(jnp.stack([up, dn], axis=1), ODD)
+    up = _blocks_apply_split(moo_u, chi2[:, 0]) + eps * chi2[:, 1]
+    dn = _blocks_apply_split(moo_d, chi2[:, 1]) + eps * chi2[:, 0]
+    m = jnp.stack([up, dn], axis=1) - k2 * tmp
+    return _gamma5_nd(_tau1_split(m))
