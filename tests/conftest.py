@@ -24,8 +24,21 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: CG/HMC while-loops take minutes to compile on
-# CPU; repeated test runs reuse the cached executables.
-_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+# CPU; repeated test runs reuse the cached executables.  Keyed by a CPU-feature
+# fingerprint: XLA:CPU AOT entries embed machine code specialized to the build
+# host, and loading one on a host with different features warns loudly and can
+# SIGILL (observed across round machines).
+import hashlib  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _flags = next(l for l in _f if l.startswith("flags"))
+except (OSError, StopIteration):
+    _flags = "unknown"
+_fp = hashlib.sha256((_flags + jax.__version__).encode()).hexdigest()[:12]
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), f".jax_cache_{_fp}"
+)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

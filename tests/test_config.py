@@ -125,3 +125,36 @@ def test_build_ndrat():
     hmc = build_hmc(cfg)
     assert isinstance(hmc.monomials[1], NDRatMonomial)
     assert hmc.monomials[1].order == 8
+
+
+def test_parse_gauge_io_and_procs_keys():
+    """GaugeConfigInputFile / GaugeConfigWritePrecision / NrProcs /
+    UseEvenOdd / ReproduceRandomNumbers / 2MNPOSITION (reference:
+    read_input.l global keys)."""
+    cfg = parse_input(
+        textwrap.dedent(
+            """
+            L = 4
+            T = 8
+            GaugeConfigInputFile = conf
+            GaugeConfigWritePrecision = 32
+            InitialStoreCounter = 250
+            NrTProcs = 4
+            NrYProcs = 2
+            UseEvenOdd = 1
+            ReproduceRandomNumbers = yes
+
+            BeginMonomial GAUGE
+              Timescale = 0
+              IntegrationSteps = 3
+              IntegratorType = 2MNPOSITION
+            EndMonomial
+            """
+        )
+    )
+    assert cfg.gauge_config_input == "conf"
+    assert cfg.gauge_write_precision == 32
+    assert cfg.initial_store_counter == 250
+    assert cfg.nr_procs == (4, 0, 2, 0)
+    assert cfg.integrator.types == ("2MNPOSITION",)
+    assert cfg.integrator.levels()[0].scheme == "2mnposition"

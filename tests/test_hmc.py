@@ -112,6 +112,27 @@ def test_2mn_beats_leapfrog():
     assert abs(float(st_mn.delta_h)) < abs(float(st_lf.delta_h))
 
 
+def test_2mnposition_second_order_and_comparable_to_2mn():
+    """2MNPOSITION (position-version Omelyan; reference: integrator.c type
+    2MNPOSITION): dH scales as dt^2 and |dH| is within an O(1) factor of the
+    velocity version at equal step count."""
+    u = _u0()
+    mono = GaugeMonomial(lat=LAT, beta=5.7)
+    dh = {}
+    for n in (5, 10):
+        cfg = HMCConfig(
+            LAT, (mono,), IntegratorConfig(tau=1.0, levels=(Level("2mnposition", n),))
+        )
+        _, st = jax.jit(functools.partial(hmc_trajectory, cfg))(u, jax.random.key(42))
+        dh[n] = float(st.delta_h)
+    assert 2.5 < dh[5] / dh[10] < 6.0, dh
+    cfg_mn = HMCConfig(
+        LAT, (mono,), IntegratorConfig(tau=1.0, levels=(Level("2mn", 10),))
+    )
+    _, st_mn = jax.jit(functools.partial(hmc_trajectory, cfg_mn))(u, jax.random.key(42))
+    assert abs(dh[10]) < 10.0 * abs(float(st_mn.delta_h)) + 1e-6
+
+
 def test_reversibility():
     u = _u0()
     mono = GaugeMonomial(lat=LAT, beta=5.7)

@@ -69,6 +69,32 @@ def test_rat_force_vs_finite_difference():
     assert abs(float(fd - pred)) / abs(float(fd)) < 1e-6
 
 
+def test_cloverrat_fast_force_matches_jnp(monkeypatch):
+    """Degenerate CLOVERRAT MD force: the kernel-VJP hybrid surrogate
+    (hoppings on the Pallas custom VJP, clover blocks via jnp AD —
+    q_hat_clover_diff) == full jnp AD of the clover operator, mirroring the
+    ND test in test_clover_nd.py."""
+    u = su3.random_su3(jax.random.key(13), (4,) + LAT.site_shape, jnp.complex64)
+    mono = RatMonomial(
+        lat=LAT,
+        params=DiracParams(kappa=0.15, mu=0.0, c_sw=1.3),
+        order=4,
+        s_min=5e-3,
+        s_max=6.0,
+        acc_tol=1e-7,
+        force_tol=1e-7,
+        maxiter=1500,
+    )
+    phi, _ = mono.heatbath(u, jax.random.key(14))
+    monkeypatch.delenv("TMLQCD_TPU_FAST_SOLVES", raising=False)
+    f_jnp = mono.force(u, phi)
+    monkeypatch.setenv("TMLQCD_TPU_FAST_SOLVES", "1")
+    f_fast = mono.force(u, phi)
+    scale = float(jnp.max(jnp.abs(f_jnp)))
+    err = float(jnp.max(jnp.abs(f_fast - f_jnp))) / scale
+    assert err < 2e-3, (err, scale)
+
+
 def _cor(**kw):
     kw.setdefault("acc_tol", 1e-11)
     return RatCorMonomial(

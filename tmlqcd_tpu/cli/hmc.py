@@ -172,7 +172,7 @@ def main(argv=None):
             path = save_checkpoint(
                 run_dir, u, traj + 1, cfg.seed, lat,
                 fmt=cfg.checkpoint_format, plaquette=float(st.plaquette),
-                beta=cfg.beta,
+                beta=cfg.beta, precision=cfg.gauge_write_precision,
             )
             if cfg.debug_level >= 1:
                 print(f"[traj {traj}] checkpoint -> {path}")

@@ -27,7 +27,10 @@ def main(argv=None):
     enable_persistent_compile_cache()
     ap = argparse.ArgumentParser(description="TPU-native propagator inverter")
     ap.add_argument("-f", "--input", required=True)
-    ap.add_argument("-c", "--config", required=True, help="gauge checkpoint (.npz or ILDG)")
+    ap.add_argument("-c", "--config", default=None,
+                    help="gauge checkpoint (.npz or ILDG); default: the "
+                    "input file's GaugeConfigInputFile.<InitialStoreCounter> "
+                    "(reference: invert.c conf numbering)")
     ap.add_argument("--source", default=None, choices=["point", "z2"],
                     help="overrides the input file's SourceType")
     ap.add_argument("--timeslice", type=int, default=None,
@@ -50,7 +53,17 @@ def main(argv=None):
 
     cfg = read_input(args.input)
     lat = cfg.lat
-    arr, traj, _ = load_checkpoint(args.config, lat)
+    conf = args.config
+    if conf is None:
+        if not cfg.gauge_config_input:
+            print("[invert] no --config and no GaugeConfigInputFile in input",
+                  file=sys.stderr)
+            return 1
+        # reference: invert.c reads <GaugeConfigInputFile>.<nstore:04d>
+        n = cfg.initial_store_counter
+        conf = (f"{cfg.gauge_config_input}.{int(n):04d}"
+                if isinstance(n, int) else cfg.gauge_config_input)
+    arr, traj, _ = load_checkpoint(conf, lat)
     u = jnp.asarray(arr, jnp.complex64)
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -106,20 +119,40 @@ def main(argv=None):
                 s, u_ape, lat, cfg.jacobi_kappa, cfg.jacobi_iterations))
             sources = [(s, c, smear(src)) for s, c, src in sources]
 
+        from tmlqcd_tpu.utils import to_host
+
         sol = np.zeros((len(sources), 4, 3) + lat.site_shape, np.complex64)
-        for i, (s, c, src) in enumerate(sources):
+        if len(sources) > 1 and op.solver in ("cg", "fastcg"):
+            # all spin-color columns as ONE batched solve on the multi-RHS
+            # kernel: the gauge stream is read once per tile and shared by
+            # the whole batch (reference: invert.c's independent per-column
+            # cg_her solves, fused here for ~2.3x per-column throughput)
+            from tmlqcd_tpu.inverter import invert_eo_rhs
+
             t0 = time.perf_counter()
-            res = inv(u, src, params, lat, tol=tol,
-                      maxiter=op.max_solver_iterations, **inv_kw)
+            bs = jnp.stack([src for _, _, src in sources])
+            res = invert_eo_rhs(u, bs, params, lat, tol=tol,
+                                maxiter=op.max_solver_iterations)
             jax.block_until_ready(res.x)
             dt = time.perf_counter() - t0
-            from tmlqcd_tpu.utils import to_host
-
-            sol[i] = to_host(res.x)
+            sol[:] = to_host(res.x)
+            rmax = float(jnp.max(res.residual_sq))
             print(
-                f"[invert] op {iop} ({op.type}) source (s={s},c={c}): "
-                f"{int(res.iterations)} iters, |r|^2={float(res.residual_sq):.3e}, {dt:.1f}s"
+                f"[invert] op {iop} ({op.type}) {len(sources)} sources batched: "
+                f"{int(res.iterations)} iters, max|r|^2={rmax:.3e}, {dt:.1f}s"
             )
+        else:
+            for i, (s, c, src) in enumerate(sources):
+                t0 = time.perf_counter()
+                res = inv(u, src, params, lat, tol=tol,
+                          maxiter=op.max_solver_iterations, **inv_kw)
+                jax.block_until_ready(res.x)
+                dt = time.perf_counter() - t0
+                sol[i] = to_host(res.x)
+                print(
+                    f"[invert] op {iop} ({op.type}) source (s={s},c={c}): "
+                    f"{int(res.iterations)} iters, |r|^2={float(res.residual_sq):.3e}, {dt:.1f}s"
+                )
 
         if args.format == "lime":
             from tmlqcd_tpu.io.propagator import write_propagator

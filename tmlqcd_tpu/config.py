@@ -91,8 +91,9 @@ class IntegratorSpec:
 
     def levels(self) -> tuple[Level, ...]:
         types = self.types or tuple("2MN" for _ in self.steps)
+        name = {"LEAPFROG": "leapfrog", "2MN": "2mn", "2MNPOSITION": "2mnposition"}
         return tuple(
-            Level("leapfrog" if t.upper() == "LEAPFROG" else "2mn", n)
+            Level(name.get(t.upper(), "2mn"), n)
             for t, n in zip(types, self.steps)
         )
 
@@ -165,6 +166,15 @@ class RunConfig:
     jacobi_iterations: int = 5
     ape_alpha: float = 0.5
     ape_iterations: int = 4
+    # reference: GaugeConfigInputFile (basename; the driver appends
+    # .<nstore:04d> like invert.c) and GaugeConfigWritePrecision (32|64 bits
+    # per real in the ILDG binary payload)
+    gauge_config_input: str = ""
+    gauge_write_precision: int = 64
+    # reference: NrTProcs/NrXProcs/NrYProcs/NrZProcs — the Cartesian process
+    # grid.  Here a MESH HINT: (t, x, y, z) device counts; zeros mean "let
+    # parallel.make_mesh choose".  Only t and y (the 'm' axis) are sharded.
+    nr_procs: tuple = (0, 0, 0, 0)
 
     @property
     def lat(self) -> Lattice:

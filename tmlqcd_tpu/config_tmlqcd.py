@@ -123,6 +123,18 @@ def parse_input(text: str) -> RunConfig:
     def gf(key, default):
         return _num(g[key]) if key in g else default
 
+    # keys that exist in the reference but are structurally fixed here:
+    # even/odd preconditioning is always on (the whole operator stack is
+    # eo-packed) and the counter RNG is reproducible by construction
+    # independent of decomposition (reference: ReproduceRandomNumbers)
+    if g.get("useevenodd", "1").strip() in ("0", "no"):
+        import warnings
+
+        warnings.warn(
+            "UseEvenOdd = 0 requested but this framework is always "
+            "even/odd-preconditioned; proceeding with even/odd"
+        )
+
     lx = gi("lx", gi("l", 4))
     # InitialStoreCounter = readin | N (reference: resume bookkeeping)
     isc_raw = g.get("initialstorecounter", "readin").strip().lower()
@@ -160,6 +172,10 @@ def parse_input(text: str) -> RunConfig:
         jacobi_iterations=gi("jacobiiterations", 5),
         ape_alpha=gf("apealpha", 0.5),
         ape_iterations=gi("apeiterations", 4),
+        gauge_config_input=g.get("gaugeconfiginputfile", ""),
+        gauge_write_precision=gi("gaugeconfigwriteprecision", 64),
+        nr_procs=(gi("nrtprocs", 0), gi("nrxprocs", 0),
+                  gi("nryprocs", 0), gi("nrzprocs", 0)),
     )
 
 

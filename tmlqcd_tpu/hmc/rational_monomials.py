@@ -341,30 +341,47 @@ class RatMonomial:
         from tmlqcd_tpu.hmc.monomials import _use_fast_solves
 
         rat = self.rat
-        if self.params.c_sw == 0.0 and _use_fast_solves():
+        if _use_fast_solves():
+            # Multishift solve and per-pole surrogate gradients on the Pallas
+            # kernels; with clover (CLOVERRAT) the gauge-copy gradient rides
+            # the kernel VJP and the clover-block part (sw_deriv analog)
+            # flows through jnp AD of the materialized blocks — mirroring
+            # NDRatMonomial.force.
             from tmlqcd_tpu.ops import wilson_fast as wf
 
-            fg = wf.make_fast_gauge(u, self.params, self.lat)
-            mv = lambda c2: wf.q_hat_pm_fast(fg, c2, self.params, self.lat)
+            clov = self.params.c_sw != 0.0
+            if clov:
+                fc = wf.make_fast_clover(u, self.params, self.lat)
+                mv = lambda c2: wf.q_hat_pm_clover_fast(fc, c2, self.params, self.lat)
+                zop = lambda x2: wf.q_hat_clover_fast(fc, x2, self.params, self.lat, +1.0)
+            else:
+                fg = wf.make_fast_gauge(u, self.params, self.lat)
+                mv = lambda c2: wf.q_hat_pm_fast(fg, c2, self.params, self.lat)
+                zop = lambda x2: wf.q_hat_fast(fg, x2, self.params, self.lat, +1.0)
             res = cg_multishift(
                 mv, wf.to_split(phi), jnp.asarray(rat.sigma),
                 tol=self.force_tol, maxiter=self.maxiter,
             )
             xs2 = jax.lax.stop_gradient(res.x)
             zs2 = jax.lax.stop_gradient(
-                jnp.stack(
-                    [wf.q_hat_fast(fg, xs2[j], self.params, self.lat, +1.0)
-                     for j in range(rat.order)]
-                )
+                jnp.stack([zop(xs2[j]) for j in range(rat.order)])
             )
 
             def surrogate(uu):
-                ug_e, ug_o = wf.split_gauge_pair(uu, self.params, self.lat)
+                if clov:
+                    parts = wf.split_clover_pair(uu, self.params, self.lat, +1.0)
+                    qop = lambda x2: wf.q_hat_clover_diff(
+                        *parts, x2, self.params, self.lat
+                    )
+                else:
+                    ug_e, ug_o = wf.split_gauge_pair(uu, self.params, self.lat)
+                    qop = lambda x2: wf.q_hat_diff(
+                        ug_e, ug_o, x2, self.params, self.lat, +1.0
+                    )
                 s = jnp.asarray(0.0, jnp.float64)
                 for j in range(rat.order):
-                    qx = wf.q_hat_diff(ug_e, ug_o, xs2[j], self.params, self.lat, +1.0)
                     s = s - 2.0 * jnp.asarray(rat.rho[j], jnp.float64) * (
-                        wf.dot_re_f64_split(zs2[j], qx)
+                        wf.dot_re_f64_split(zs2[j], qop(xs2[j]))
                     )
                 return s
 

@@ -39,6 +39,7 @@ def save_checkpoint(
     lat: Lattice,
     fmt: str = "native",
     keep: int = 2,
+    precision: int = 64,
     **meta,
 ) -> str:
     """Write conf.{trajectory:06d}(.npz|.lime) + nstore_counter atomically;
@@ -71,7 +72,8 @@ def save_checkpoint(
     elif fmt == "ildg":
         name = f"conf.{trajectory:06d}.lime"
         ildg.write_gauge_field(
-            os.path.join(run_dir, name), u, lat, trajectory=trajectory, **meta
+            os.path.join(run_dir, name), u, lat, trajectory=trajectory,
+            precision=precision, **meta
         )
     else:
         raise ValueError(f"unknown checkpoint format {fmt!r}")

@@ -155,7 +155,20 @@ def sw_apply(sw: jax.Array, psi: jax.Array, mutld: float, sign: float = +1.0) ->
     Chirality blocks: spins (0,1) get +i mutld, spins (2,3) get -i mutld.
     (reference: clovertm_operators.c `Msw_ee` application.)
     """
+    from tmlqcd_tpu.su3 import _compact_algebra
+
     imu = jnp.asarray(1j * sign * mutld, psi.dtype)
+    if _compact_algebra():
+        # compact CPU form (see su3._compact_algebra): psi as [b, s, c, ...];
+        # broadcast+reduce (not dot_general) keeps vmap bitwise-faithful
+        pb = psi.reshape((2, 2) + psi.shape[1:])
+        pm = jnp.asarray([1.0, -1.0], psi.real.dtype).reshape(
+            (2, 1, 1) + (1,) * (psi.ndim - 2)
+        )
+        diag = pb + (pm * imu) * pb
+        # tpsi[b,s,c] = sum_{t,d} sw[b,s,t,c,d] pb[b,t,d]
+        tpsi = jnp.sum(sw * pb[:, None, :, None], axis=(2, 4))
+        return (diag + tpsi).reshape(psi.shape)
     out_rows = []
     for b, (s0, pm) in enumerate(((0, +1.0), (2, -1.0))):
         for s in range(2):

@@ -120,11 +120,33 @@ def _accum_hop(out, v_iso: np.ndarray, scale: complex, u: jax.Array, psi: jax.Ar
     Component-list form matters: stacking/adding whole [4,3,...] arrays per
     direction creates materialization boundaries; per-component expression
     trees let XLA fuse the full 8-direction stencil into one pass per output
-    component.  No dot_general anywhere (TPU would pad the tiny contraction
-    dims to 8x128 tiles — measured 57x expansion).
+    component.  No dot_general anywhere on TPU (it would pad the tiny
+    contraction dims to 8x128 tiles — measured 57x expansion); on CPU the
+    compact einsum form keeps graphs ~5x smaller (see su3._compact_algebra).
     """
+    from tmlqcd_tpu.su3 import _compact_algebra
+
     vh = np.ascontiguousarray(v_iso.conj().T)  # [2, 4]
     v2 = np.ascontiguousarray(2.0 * scale * v_iso)  # [4, 2]
+    if _compact_algebra():
+        # broadcast+reduce over the tiny axes, NOT dot_general — preserves
+        # bitwise vmap == unvmapped (see su3._compact_algebra)
+        ext = (1,) * (psi.ndim - 2)
+        vhc = jnp.asarray(vh, psi.dtype).reshape(2, 4, 1, *ext)
+        hc = jnp.sum(vhc * psi[None], axis=1)  # [2(a), 3(c), ...]
+        um = jnp.conj(u) if adjoint else u
+        # uh[a, i] = sum_j um[i, j] h[a, j] (adjoint: sum_j conj(u)[j, i] h[a, j])
+        if adjoint:
+            uh = jnp.sum(um[None] * hc[:, :, None], axis=1)
+        else:
+            uh = jnp.sum(um[None] * hc[:, None], axis=2)
+        v2c = jnp.asarray(v2, psi.dtype).reshape(4, 2, 1, *ext)
+        term = jnp.sum(v2c * uh[None], axis=1)  # [4(s), 3(c), ...]
+        for s in range(4):
+            for c in range(3):
+                t = term[s, c]
+                out[s][c] = t if out[s][c] is None else out[s][c] + t
+        return out
     h = _spin_mix(vh, psi, 2)  # h[a][c]
     if adjoint:
         uc = jnp.conj(u)

@@ -24,7 +24,8 @@ from tmlqcd_tpu.lattice import EVEN, ODD, Lattice, pack_gauge_eo
 from tmlqcd_tpu.ops import dslash_pallas as dp
 from tmlqcd_tpu.ops.wilson import DiracParams, boundary_phases
 
-__all__ = ["FastGauge", "make_fast_gauge", "q_hat_pm_fast", "q_hat_fast", "to_split", "from_split"]
+__all__ = ["FastGauge", "make_fast_gauge", "q_hat_pm_fast", "q_hat_fast",
+           "to_split", "from_split", "to_split_rhs", "from_split_rhs"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,6 +90,18 @@ def to_split(psi: jax.Array) -> jax.Array:
 
 def from_split(psi2: jax.Array, dtype=jnp.complex64) -> jax.Array:
     return dp.merge_c(psi2, dtype)
+
+
+def to_split_rhs(psis: jax.Array) -> jax.Array:
+    """Batch of complex spinors [R, 4, 3, T, X, M] -> the multi-RHS split
+    layout [2, 4, 3, R, T, X, M] (R inside the spin/color axes so the site
+    dims stay minor-most; the kernel amortizes the gauge stream over R)."""
+    return jnp.moveaxis(dp.split_c(psis).astype(jnp.float32), 1, 3)
+
+
+def from_split_rhs(psi2: jax.Array, dtype=jnp.complex64) -> jax.Array:
+    """[2, 4, 3, R, T, X, M] -> complex [R, 4, 3, T, X, M]."""
+    return dp.merge_c(jnp.moveaxis(psi2, 3, 1), dtype)
 
 
 def _gamma5(psi2: jax.Array) -> jax.Array:
@@ -252,17 +265,14 @@ def _mee_inv_nd_split(chi2, mubar_t: float, epsbar_t: float, sign: float) -> jax
 
 
 def _hop_nd(fg: FastGauge, chi2: jax.Array, p: int, lat: Lattice) -> jax.Array:
+    """Doublet hopping as ONE multi-RHS kernel call (flavor = the R axis,
+    r_axis=1): the gauge stream is read once and shared by both flavors —
+    the dominant HBM traffic of the NDRAT multishift hot loop drops ~1.4x
+    vs two independent per-flavor applications."""
     interp = _interpret()
     ug = fg.ug_even if p == EVEN else fg.ug_odd
-    return jnp.stack(
-        [
-            dp.hopping_pallas_split(ug, chi2[:, 0], p, lat, interpret=interp,
-                                    gcomp=fg.gcomp),
-            dp.hopping_pallas_split(ug, chi2[:, 1], p, lat, interpret=interp,
-                                    gcomp=fg.gcomp),
-        ],
-        axis=1,
-    )
+    return dp.hopping_pallas_split(ug, chi2, p, lat, interpret=interp,
+                                   gcomp=fg.gcomp)
 
 
 def q_nd_fast(fg: FastGauge, chi2: jax.Array, params, lat: Lattice) -> jax.Array:
@@ -438,39 +448,64 @@ jax.tree_util.register_dataclass(
 )
 
 
-def make_fast_clover_nd(u: jax.Array, params, lat: Lattice) -> FastCloverND:
+def _nd_clover_block_tuple(u: jax.Array, params, lat: Lattice):
+    """(moo_u, moo_d, minv_a, minv_b, minv_e) split-f32 ND clover blocks —
+    the single builder shared by make_fast_clover_nd (solve operator) and
+    split_clover_nd_pair (force surrogate) so the eps sign convention and
+    block ordering cannot drift apart between the two."""
     from tmlqcd_tpu.ops import clover as cl
 
     sw_e, sw_o = cl.sw_blocks_eo(u, params.kappa, params.c_sw, lat)
     sp = lambda x: dp.split_c(x).astype(jnp.float32)
     a, b, e = cl.mee_inv_nd_blocks(sw_e, params.mubar_t, params.epsbar_t, +1.0)
+    return (
+        sp(cl.mee_blocks(sw_o, params.mubar_t, +1.0)),
+        sp(cl.mee_blocks(sw_o, params.mubar_t, -1.0)),
+        sp(a),
+        sp(b),
+        sp(e),
+    )
+
+
+def make_fast_clover_nd(u: jax.Array, params, lat: Lattice) -> FastCloverND:
+    moo_u, moo_d, minv_a, minv_b, minv_e = _nd_clover_block_tuple(u, params, lat)
     return FastCloverND(
         fg=make_fast_gauge(u, params.wilson, lat),
-        moo_u=sp(cl.mee_blocks(sw_o, params.mubar_t, +1.0)),
-        moo_d=sp(cl.mee_blocks(sw_o, params.mubar_t, -1.0)),
-        minv_a=sp(a),
-        minv_b=sp(b),
-        minv_e=sp(e),
+        moo_u=moo_u,
+        moo_d=moo_d,
+        minv_a=minv_a,
+        minv_b=minv_b,
+        minv_e=minv_e,
         epsbar_t=params.epsbar_t,
     )
 
 
-def _mee_nd_blocks_split(fc: FastCloverND, chi2: jax.Array) -> jax.Array:
-    eps = jnp.float32(fc.epsbar_t)
-    up = _blocks_apply_split(fc.moo_u, chi2[:, 0]) + eps * chi2[:, 1]
-    dn = _blocks_apply_split(fc.moo_d, chi2[:, 1]) + eps * chi2[:, 0]
+def _mee_nd_apply_split(moo_u, moo_d, eps, chi2: jax.Array) -> jax.Array:
+    """Flavor-2x2 M_oo = [[moo_u, eps], [eps, moo_d]] on raw split blocks."""
+    up = _blocks_apply_split(moo_u, chi2[:, 0]) + eps * chi2[:, 1]
+    dn = _blocks_apply_split(moo_d, chi2[:, 1]) + eps * chi2[:, 0]
     return jnp.stack([up, dn], axis=1)
+
+
+def _mee_inv_nd_apply_split(minv_a, minv_b, minv_e, eps, chi2: jax.Array) -> jax.Array:
+    """Flavor-2x2 M_ee^{-1} = [[A, -eps E], [-eps E, B]] on raw split blocks."""
+    up = _blocks_apply_split(minv_a, chi2[:, 0]) - eps * _blocks_apply_split(
+        minv_e, chi2[:, 1]
+    )
+    dn = _blocks_apply_split(minv_b, chi2[:, 1]) - eps * _blocks_apply_split(
+        minv_e, chi2[:, 0]
+    )
+    return jnp.stack([up, dn], axis=1)
+
+
+def _mee_nd_blocks_split(fc: FastCloverND, chi2: jax.Array) -> jax.Array:
+    return _mee_nd_apply_split(fc.moo_u, fc.moo_d, jnp.float32(fc.epsbar_t), chi2)
 
 
 def _mee_inv_nd_blocks_split(fc: FastCloverND, chi2: jax.Array) -> jax.Array:
-    eps = jnp.float32(fc.epsbar_t)
-    up = _blocks_apply_split(fc.minv_a, chi2[:, 0]) - eps * _blocks_apply_split(
-        fc.minv_e, chi2[:, 1]
+    return _mee_inv_nd_apply_split(
+        fc.minv_a, fc.minv_b, fc.minv_e, jnp.float32(fc.epsbar_t), chi2
     )
-    dn = _blocks_apply_split(fc.minv_b, chi2[:, 1]) - eps * _blocks_apply_split(
-        fc.minv_e, chi2[:, 0]
-    )
-    return jnp.stack([up, dn], axis=1)
 
 
 def q_nd_clover_fast(fc: FastCloverND, chi2: jax.Array, params, lat: Lattice) -> jax.Array:
@@ -602,21 +637,8 @@ def split_clover_nd_pair(u: jax.Array, params, lat: Lattice):
     split tensors as functions of the full gauge field — the non-degenerate
     analog of split_clover_pair, for the NDCLOVERRAT force surrogate
     (reference: sw_deriv_nd + the ndrat derivative in ndrat_monomial.c)."""
-    from tmlqcd_tpu.ops import clover as cl
-
     ug_e, ug_o = split_gauge_pair(u, params.wilson, lat)
-    sw_e, sw_o = cl.sw_blocks_eo(u, params.kappa, params.c_sw, lat)
-    sp = lambda x: dp.split_c(x).astype(jnp.float32)
-    a, b, e = cl.mee_inv_nd_blocks(sw_e, params.mubar_t, params.epsbar_t, +1.0)
-    return (
-        ug_e,
-        ug_o,
-        sp(cl.mee_blocks(sw_o, params.mubar_t, +1.0)),
-        sp(cl.mee_blocks(sw_o, params.mubar_t, -1.0)),
-        sp(a),
-        sp(b),
-        sp(e),
-    )
+    return (ug_e, ug_o) + _nd_clover_block_tuple(u, params, lat)
 
 
 def q_nd_clover_diff(
@@ -651,15 +673,7 @@ def q_nd_clover_diff(
         )
 
     tmp = hop_diff(chi2, EVEN)
-    # flavor-2x2 M_ee^{-1} = [[A, -eps E], [-eps E, B]] on even sites
-    up = _blocks_apply_split(minv_a, tmp[:, 0]) - eps * _blocks_apply_split(
-        minv_e, tmp[:, 1]
-    )
-    dn = _blocks_apply_split(minv_b, tmp[:, 1]) - eps * _blocks_apply_split(
-        minv_e, tmp[:, 0]
-    )
-    tmp = hop_diff(jnp.stack([up, dn], axis=1), ODD)
-    up = _blocks_apply_split(moo_u, chi2[:, 0]) + eps * chi2[:, 1]
-    dn = _blocks_apply_split(moo_d, chi2[:, 1]) + eps * chi2[:, 0]
-    m = jnp.stack([up, dn], axis=1) - k2 * tmp
+    tmp = _mee_inv_nd_apply_split(minv_a, minv_b, minv_e, eps, tmp)
+    tmp = hop_diff(tmp, ODD)
+    m = _mee_nd_apply_split(moo_u, moo_d, eps, chi2) - k2 * tmp
     return _gamma5_nd(_tau1_split(m))

@@ -95,6 +95,35 @@ def _block_orthonormalize(v: jax.Array, blocks) -> jax.Array:
     return jnp.stack(outs).reshape(v.shape)
 
 
+def _mr_batch(matvec_batch: Callable, b: jax.Array, iters: int) -> jax.Array:
+    """Fixed-iteration minimal-residual smoother over a leading batch axis:
+    one shared batched matvec per iteration, per-vector step sizes.  The
+    batch analog of `mr(..., maxiter=iters)` for the subspace-setup smooth
+    (each vector's own alpha = <Ar, r>/|Ar|^2)."""
+    axes = tuple(range(1, b.ndim))
+
+    def dot(p, q):
+        return jnp.sum(jnp.conj(p) * q, axis=axes, keepdims=True)
+
+    x = jnp.zeros_like(b)
+    r = b
+    for _ in range(iters):
+        ar = matvec_batch(r)
+        den = dot(ar, ar).real
+        alpha = dot(ar, r) / jnp.maximum(den, 1e-30).astype(den.dtype)
+        x = x + alpha * r
+        r = r - alpha * ar
+    return x
+
+
+def _block_masks(blocks, rdtype) -> jax.Array:
+    """[nb, nbt, 1, nbx, 1, nbm, 1] one-hot block selectors, b-index ordered
+    (t-major, m-minor) to match the little-operator column convention."""
+    nbt, nbx, nbm = blocks
+    nb = nbt * nbx * nbm
+    return jnp.eye(nb, dtype=rdtype).reshape(nb, nbt, 1, nbx, 1, nbm, 1)
+
+
 def setup_deflation(
     matvec: Callable,
     shape: tuple,
@@ -104,37 +133,45 @@ def setup_deflation(
     inv_iters: int = 3,
     smooth_iters: int = 4,
     dtype=jnp.complex64,
+    matvec_batch: Callable | None = None,
 ) -> DeflationSetup:
     """Build the subspace + little operator for operator `matvec` (the
-    e/o-preconditioned Mhat; reference: generate_dfl_subspace + little_D)."""
+    e/o-preconditioned Mhat; reference: generate_dfl_subspace + little_D).
+
+    matvec_batch (optional): operator over a LEADING batch axis; defaults to
+    jax.vmap(matvec).  The whole setup runs on batched matvecs — the
+    smoothed inverse iteration as ns-wide batches, the ns*nb little-operator
+    columns in ns-wide chunks — so a multi-RHS operator (one gauge stream
+    shared by the batch, see ops/dslash_pallas) or XLA's vmap batching
+    amortizes the dominant gauge traffic instead of ns*(10*inv_iters)+ns*nb
+    full-bandwidth single applications (reference: generate_dfl_subspace.c
+    loops vectors one by one)."""
+    if matvec_batch is None:
+        matvec_batch = jax.vmap(matvec)
     ns = n_vectors
     vs = rng.normal_spinor(key, (ns,) + tuple(shape), dtype)
-    # smoothed inverse iteration toward the near-kernel
+    # smoothed inverse iteration toward the near-kernel (batched over ns)
     for _ in range(inv_iters):
-        new = []
-        for i in range(ns):
-            x = mr(matvec, vs[i], tol=1e-2, maxiter=10).x
-            n = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2))
-            new.append(x / jnp.maximum(n, 1e-30).astype(x.real.dtype))
-        vs = jnp.stack(new)
+        vs = _mr_batch(matvec_batch, vs, 10)
+        nrm = jnp.sqrt(
+            jnp.sum(jnp.abs(vs) ** 2, axis=tuple(range(1, vs.ndim)), keepdims=True)
+        )
+        vs = vs / jnp.maximum(nrm, 1e-30).astype(vs.real.dtype)
     vs = _block_orthonormalize(vs, blocks)
 
     nb = blocks[0] * blocks[1] * blocks[2]
-    n = ns * nb
-    # little operator: column (j, b') = restriction of D (chi_b' v_j)
-    cols = []
+    # little operator: column (j, b') = restriction of D (chi_b' v_j);
+    # all nb columns of one subspace vector as ONE batched matvec (chunked
+    # by j to bound the [nb, spinor] working set)
+    masks = _block_masks(blocks, vs.real.dtype)  # [nb, bt,1,bx,1,bm,1]
+    restrict_b = jax.vmap(lambda y: _restrict(vs, y, blocks))
+    col_chunks = []
     for j in range(ns):
-        vjb = _block_view(vs[j], blocks)
-        for b in range(nb):
-            bt, bx, bm = blocks
-            ib, jb, kb = b // (bx * bm), (b // bm) % bx, b % bm
-            mask = jnp.zeros((bt, 1, bx, 1, bm, 1), dtype=vs.real.dtype)
-            mask = mask.at[ib, :, jb, :, kb, :].set(1.0)
-            chopped = (vjb * mask.reshape(1, 1, bt, 1, bx, 1, bm, 1)).reshape(
-                vs.shape[1:]
-            )
-            cols.append(_restrict(vs, matvec(chopped), blocks).reshape(-1))
-    a = jnp.stack(cols, axis=1).astype(jnp.complex128)  # [n, n]
+        vjb = _block_view(vs[j], blocks)  # [4,3,nbt,bt,nbx,bx,nbm,bm]
+        chopped = (vjb[None] * masks[:, None, None]).reshape((nb,) + vs.shape[1:])
+        col_chunks.append(restrict_b(matvec_batch(chopped)).reshape(nb, -1))
+    # rows of col_chunks are (j, b)-ordered columns -> stack then transpose
+    a = jnp.concatenate(col_chunks, axis=0).T.astype(jnp.complex128)  # [n, n]
     lu = jax.scipy.linalg.lu_factor(a)
     return DeflationSetup(v=vs, blocks=blocks, a_lu=lu, smooth_iters=smooth_iters)
 

@@ -45,16 +45,43 @@ def adj(m: jax.Array) -> jax.Array:
     return jnp.conj(jnp.swapaxes(m, 0, 1))
 
 
+def _compact_algebra() -> bool:
+    """Use compact broadcast+reduce contractions instead of unrolled
+    multiply-adds.
+
+    On TPU the unrolled form is mandatory for layout (see :func:`mul`); on
+    CPU — where the virtual-mesh tests and the driver's multi-chip dryrun
+    compile with a single-threaded XLA — the unrolled form multiplies HLO
+    size ~10x and with it compile time (measured: the clover-term build
+    sw_blocks_eo is 13k HLO lines unrolled vs ~1k compact, and a full
+    GAUGE+CLOVERDETRATIO+NDRAT trajectory compile dropped from ~19 min to
+    ~2.5 min).  The compact form is broadcast-multiply + jnp.sum over the
+    tiny contraction axis, NOT einsum/dot_general: a batched dot lowers to a
+    different accumulation than an unbatched one, which breaks the BITWISE
+    vmap-chain == single-chain guarantee (tested in test_aux.py) that
+    elementwise ops preserve.  Override with TMLQCD_TPU_COMPACT_SU3=0/1.
+    """
+    import os
+
+    env = os.environ.get("TMLQCD_TPU_COMPACT_SU3")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() == "cpu"
+
+
 def mul(a: jax.Array, b: jax.Array) -> jax.Array:
     """3x3 matrix product over leading axes (reference: `_su3_times_su3`).
 
-    Explicitly unrolled: einsum/dot_general would make XLA:TPU choose a
-    layout with the *contracting* (3,3) dims minor-most, padding every
+    Explicitly unrolled on TPU: einsum/dot_general would make XLA:TPU choose
+    a layout with the *contracting* (3,3) dims minor-most, padding every
     operand to (sublane, lane) = (8, 128) tiles — a measured 57x memory/
     bandwidth expansion.  Unrolled multiply-adds keep all arrays laid out
     with site dims minor and fuse into 9 VPU expressions (the TPU analog of
-    the reference's SSE macro bodies).
+    the reference's SSE macro bodies).  On CPU a compact broadcast+reduce
+    form is used instead (see :func:`_compact_algebra`).
     """
+    if _compact_algebra():
+        return jnp.sum(a[:, :, None] * b[None], axis=1)
     rows = []
     for i in range(3):
         row = []
@@ -66,7 +93,9 @@ def mul(a: jax.Array, b: jax.Array) -> jax.Array:
 
 def matvec(u: jax.Array, v: jax.Array) -> jax.Array:
     """U v for color vectors v [3, ...] (reference: `_su3_multiply`);
-    unrolled for the same layout reason as :func:`mul`."""
+    unrolled on TPU for the same layout reason as :func:`mul`."""
+    if _compact_algebra():
+        return jnp.sum(u * v[None], axis=1)
     return jnp.stack(
         [u[i, 0] * v[0] + u[i, 1] * v[1] + u[i, 2] * v[2] for i in range(3)]
     )
