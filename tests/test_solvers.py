@@ -74,3 +74,31 @@ def test_cg_with_initial_guess(setup):
     full = cg(qpm, b, tol=1e-6, maxiter=500)
     warm = cg(qpm, b, x0=full.x, tol=1e-6, maxiter=500)
     assert int(warm.iterations) <= 2
+
+
+def test_incr_eigcg_dense():
+    """Incremental eigCG (reference: solver/eigcg.c + incr_eigcg): Ritz
+    pairs harvested from earlier solves deflate later right-hand sides —
+    iterations must drop substantially across an rhs sequence."""
+    from tmlqcd_tpu.solvers.eigcg import incr_eigcg_solve
+
+    nprng = np.random.default_rng(1)
+    n = 400
+    q, _ = np.linalg.qr(nprng.normal(size=(n, n)) + 1j * nprng.normal(size=(n, n)))
+    ev = np.concatenate([np.linspace(1e-3, 5e-3, 8), np.linspace(0.5, 10.0, n - 8)])
+    a = (q * ev) @ q.conj().T
+    a = (a + a.conj().T) / 2
+    mv = lambda x: jnp.asarray(a, jnp.complex128) @ x
+    bs = [
+        jnp.asarray(nprng.normal(size=n) + 1j * nprng.normal(size=n), jnp.complex128)
+        for _ in range(5)
+    ]
+    xs, iters, basis = incr_eigcg_solve(
+        mv, bs, nev=6, m=30, max_vectors=24, tol=1e-8, maxiter=3000
+    )
+    for b, x in zip(bs, xs):
+        rel = float(jnp.linalg.norm(mv(x) - b) / jnp.linalg.norm(b))
+        assert rel < 1e-7, rel
+    # deflation must cut iterations by at least ~2x once the basis is built
+    assert iters[-1] < 0.5 * iters[0], iters
+    assert len(basis.vectors) > 0

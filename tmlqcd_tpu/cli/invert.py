@@ -75,8 +75,33 @@ def main(argv=None):
         mu = op.two_kappa_mu / (2 * op.kappa) if op.kappa else 0.0
         params = DiracParams(kappa=op.kappa, mu=mu, c_sw=op.csw, theta=tuple(op.theta))
         is_clover = op.type.upper() in ("CLOVER",)
+        is_overlap = op.type.upper() == "OVERLAP"
         inv = invert_clover_eo if is_clover else invert_eo
         tol = float(op.precision) ** 0.5
+
+        if is_overlap:
+            # overlap: build the sign-function setup (Lanczos low modes +
+            # Chebyshev coefficients) once per gauge, then SUMR/CGNE solves
+            # on the full lattice (reference: invert.c OVERLAP branch +
+            # Dov_psi.c; no e/o preconditioning for the overlap)
+            from tmlqcd_tpu.ops import overlap as _ov
+
+            t0 = time.perf_counter()
+            ov_params = _ov.OverlapParams(
+                rho=1.0 + op.overlap_s, m=op.overlap_m,
+                degree=op.sign_degree, n_ev=op.sign_n_ev,
+                theta=tuple(op.theta),
+            )
+            ov_setup = _ov.make_overlap(u, ov_params, lat)
+            print(f"[invert] op {iop}: overlap setup ({op.sign_n_ev} modes, "
+                  f"degree {op.sign_degree}, sign err {ov_setup.sign_err:.2e}) "
+                  f"built in {time.perf_counter() - t0:.1f}s")
+
+            def inv(u_, src, params_, lat_, tol=tol, maxiter=0, **kw):
+                return _ov.invert_overlap(
+                    ov_setup, src, tol=tol, maxiter=maxiter,
+                    solver=op.solver if op.solver in ("sumr", "cgne") else "sumr",
+                )
 
         # per-operator solver routing (reference: operator.c solver field);
         # MG setup is built ONCE per gauge+operator and reused across all
@@ -122,7 +147,26 @@ def main(argv=None):
         from tmlqcd_tpu.utils import to_host
 
         sol = np.zeros((len(sources), 4, 3) + lat.site_shape, np.complex64)
-        if len(sources) > 1 and op.solver in ("cg", "fastcg"):
+        if op.solver == "increigcg" and not is_overlap and not is_clover:
+            # sequential solves with incremental eigCG deflation (reference:
+            # incr_eigcg): later spin-color columns reuse the low modes
+            # harvested by earlier ones
+            from tmlqcd_tpu.inverter import invert_eo_increigcg
+
+            t0 = time.perf_counter()
+            results = invert_eo_increigcg(
+                u, [src for _, _, src in sources], params, lat, tol=tol,
+                maxiter=op.max_solver_iterations,
+            )
+            for i, res in enumerate(results):
+                sol[i] = to_host(res.x)
+            dt = time.perf_counter() - t0
+            print(
+                f"[invert] op {iop} ({op.type}) {len(sources)} sources "
+                f"incr-eigcg: iters {[int(r.iterations) for r in results]}, "
+                f"{dt:.1f}s"
+            )
+        elif len(sources) > 1 and op.solver in ("cg", "fastcg") and not is_overlap:
             # all spin-color columns as ONE batched solve on the multi-RHS
             # kernel: the gauge stream is read once per tile and shared by
             # the whole batch (reference: invert.c's independent per-column

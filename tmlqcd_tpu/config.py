@@ -117,15 +117,24 @@ class MeasurementSpec:
 class OperatorSpec:
     """One BeginOperator block (for invert; reference: operator.c types)."""
 
-    type: str  # TMWILSON | WILSON | CLOVER | DBTMWILSON
+    type: str  # TMWILSON | WILSON | CLOVER | DBTMWILSON | OVERLAP
     kappa: float = 0.0
     two_kappa_mu: float = 0.0
     csw: float = 0.0
-    solver: str = "cg"  # cg | mixedcg | fastcg | fastmixed | dflfgmres
+    solver: str = "cg"  # cg | mixedcg | fastcg | fastmixed | dflfgmres;
+    # OVERLAP: sumr | cgne
     precision: float = 1e-18
     max_solver_iterations: int = 5000
     theta: tuple = (1.0, 0.0, 0.0, 0.0)  # ThetaT/X/Y/Z boundary phases
     propagator_precision: int = 64  # reference: PropagatorPrecision (32|64)
+    # OVERLAP-only parameters (reference: Dov_psi.c / invert overlap blocks):
+    # m = bare overlap mass, s selects the kernel mass via rho = 1 + s,
+    # the sign function uses a degree-`sign_degree` Chebyshev with
+    # `sign_n_ev` exactly-deflated low modes of Q_W
+    overlap_m: float = 0.0
+    overlap_s: float = 0.0
+    sign_degree: int = 128
+    sign_n_ev: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -218,11 +218,19 @@ def _operator(name: str, blk: dict, theta=(1.0, 0.0, 0.0, 0.0)) -> OperatorSpec:
         kappa=f("kappa"),
         two_kappa_mu=f("2kappamu"),
         csw=f("csw"),
-        solver=blk.get("solver", "cg").lower(),
+        solver=blk.get(
+            "solver", "sumr" if name.upper() == "OVERLAP" else "cg"
+        ).lower(),
         precision=f("solverprecision", 1e-18),
         max_solver_iterations=i("maxsolveriterations", 5000),
         theta=theta,
         propagator_precision=i("propagatorprecision", 64),
+        # overlap keys (reference: read_input.l overlap operator section —
+        # `m` the overlap mass, `s` the kernel-mass parameter rho = 1+s)
+        overlap_m=f("m", 0.0),
+        overlap_s=f("s", 0.0),
+        sign_degree=i("degreeofsignfunction", 128),
+        sign_n_ev=i("noeigenvalues", 8),
     )
 
 

@@ -209,6 +209,59 @@ def invert_eo_rhs(
     return InvertResult(x=x, iterations=res.iterations, residual_sq=res.residual_sq)
 
 
+def invert_eo_increigcg(
+    u: jax.Array,
+    bs: list,
+    params: w.DiracParams,
+    lat: Lattice,
+    tol: float = 1e-10,
+    maxiter: int = 5000,
+    nev: int = 6,
+    m: int = 30,
+    max_vectors: int = 48,
+) -> list:
+    """Sequence-of-sources inversion with INCREMENTAL EIGCG deflation
+    (reference: solver/eigcg.c + incr_eigcg via solver_types INCREIGCG):
+    each odd-sector CG harvests approximate low modes of Qhat_pm for free
+    and later sources start from the Galerkin projection onto the
+    accumulated basis — the propagator-workflow alternative to the batched
+    multi-RHS solve (useful when sources arrive sequentially or memory
+    forbids batching).
+
+    Returns a list of InvertResult, one per source in `bs`."""
+    from tmlqcd_tpu.solvers.eigcg import DeflationBasis, eigcg
+
+    ueo = pack_gauge_eo(u, lat)
+    ph = w.boundary_phases(params, lat)
+    kappa = jnp.asarray(params.kappa, bs[0].real.dtype)
+    qpm = lambda x: w.q_hat_pm(ueo, x, params, lat, ph)
+
+    basis = DeflationBasis.empty()
+    outs = []
+    for b in bs:
+        b_e, b_o = eo_pack(b, lat)
+        t = w.mee_inv_packed(b_e, params.mutld, +1.0)
+        bhat = b_o + kappa * w.dslash_packed(ueo, t, ODD, lat, ph)
+        rhs = w.q_hat(ueo, apply_gamma5(bhat), params, lat, ph, -1.0)
+        x0 = basis.galerkin_x0(rhs)
+        res = eigcg(qpm, rhs, nev=nev, m=m, tol=tol, maxiter=maxiter, x0=x0)
+        if len(basis.vectors) < max_vectors and res.ritz_vectors:
+            basis.extend(qpm, res.ritz_vectors[: 2 * nev], max_vectors)
+        x_o = res.x
+        x_e = w.mee_inv_packed(
+            b_e + kappa * w.dslash_packed(ueo, x_o, EVEN, lat, ph),
+            params.mutld, +1.0,
+        )
+        outs.append(
+            InvertResult(
+                x=eo_unpack(x_e, x_o, lat),
+                iterations=jnp.asarray(res.iterations),
+                residual_sq=jnp.asarray(res.residual_sq),
+            )
+        )
+    return outs
+
+
 def invert_clover_eo(
     u: jax.Array,
     b: jax.Array,

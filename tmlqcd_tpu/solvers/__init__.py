@@ -15,3 +15,6 @@ from tmlqcd_tpu.solvers.chrono import chrono_guess, chrono_init, chrono_push  # 
 from tmlqcd_tpu.solvers.chebyshev import chebyshev_apply, chebyshev_coeffs  # noqa: F401
 from tmlqcd_tpu.solvers.deflation import deflated_fgmres, setup_deflation, vcycle  # noqa: F401
 from tmlqcd_tpu.solvers.dispatch import register_solver, solve_degenerate, solve_mms  # noqa: F401
+from tmlqcd_tpu.solvers.sumr import sumr  # noqa: F401
+from tmlqcd_tpu.solvers.lanczos import lanczos_herm, lowest_eigenpairs  # noqa: F401
+from tmlqcd_tpu.solvers.eigcg import eigcg, incr_eigcg_solve  # noqa: F401
