@@ -35,17 +35,18 @@ __all__ = ["wilson_flow_step", "wilson_flow", "energy_plaq", "energy_clover", "t
 
 
 def _z(v: jax.Array, lat: Lattice) -> jax.Array:
-    """Flow generator Z(V) = +gauge_force(V, beta=1).
+    """Flow generator Z(V) = +gauge_force(V, beta=3).
 
     Sign note: F = TA(U dS/dU^T) satisfies dS/d_eps = tr(F P) along
     dU = eps P U, and tr(A B) is NEGATIVE-definite on antihermitian
     matrices — F itself is the descent direction: dS/dt = tr(F F) < 0.
-    The beta = 1 normalization is CALIBRATED numerically against the exact
-    linearized Wilson-flow decay exp(-t phat^2) of a transverse plane wave
-    (pinned to 2% by tests/test_meas.py::test_flow_free_field_decay — the
-    measured generator on an abelian mode is f_Lambda = -(beta) phat^2 theta).
+    The beta = 3 normalization is CALIBRATED against the exact linearized
+    Wilson-flow decay exp(-t phat^2) of a transverse plane wave (pinned to
+    2% by tests/test_meas.py::test_flow_free_field_decay — with this module's
+    ta_project and single-counted (mu<nu) plaquette sum, the measured
+    generator on an abelian mode is f_Lambda = -(beta/3) phat^2 theta).
     """
-    return gauge_force(v, 1.0, lat, 0.0)
+    return gauge_force(v, 3.0, lat, 0.0)
 
 
 def wilson_flow_step(v: jax.Array, eps: float, lat: Lattice) -> jax.Array:
