@@ -76,6 +76,9 @@ class MonomialSpec:
     csg_history: int = 3  # chrono-guess depth (reference: CSGHistory; 0 off)
     theta: tuple = (1.0, 0.0, 0.0, 0.0)  # boundary phases (ThetaT/X/Y/Z;
     # theta_t = 1 is the conventional antiperiodic time BC)
+    eta: float = 0.0  # SFGAUGE boundary-field parameters (sf_gauge_monomial)
+    nu: float = 0.0
+    ct: float = 1.0  # SF temporal boundary-plaquette improvement weight
     name: str = ""
 
 
@@ -102,7 +105,8 @@ class IntegratorSpec:
 class MeasurementSpec:
     """One BeginMeasurement block."""
 
-    type: str  # ONLINE | GRADIENTFLOW | POLYAKOV | ORIENTEDPLAQUETTES | PIONNORM | FIELDSTRENGTH
+    type: str  # ONLINE | GRADIENTFLOW | POLYAKOV | ORIENTEDPLAQUETTES |
+    # PIONNORM | FIELDSTRENGTH | SFCOUPLING
     frequency: int = 1
     kappa: float = 0.0
     two_kappa_mu: float = 0.0
@@ -111,6 +115,9 @@ class MeasurementSpec:
     direction: int = 0
     max_solver_iterations: int = 5000
     precision: float = 1e-18
+    eta: float = 0.0  # SFCOUPLING background-field parameters
+    nu: float = 0.0
+    ct: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -211,6 +218,13 @@ def build_monomial(spec: MonomialSpec, lat: Lattice, beta: float, c1: float):
     det_common = dict(common, solver=spec.solver, chrono_n=spec.csg_history)
     if ty == "GAUGE":
         return GaugeMonomial(lat=lat, beta=beta, c1=c1, timescale=spec.timescale)
+    if ty == "SFGAUGE":
+        from tmlqcd_tpu.hmc.monomials import SFGaugeMonomial
+
+        return SFGaugeMonomial(
+            lat=lat, beta=beta, eta=spec.eta, nu=spec.nu, ct=spec.ct,
+            timescale=spec.timescale, name=spec.name or "sfgauge",
+        )
     if ty == "DET":
         return DetMonomial(
             lat=lat,
@@ -334,4 +348,10 @@ def build_hmc(cfg: RunConfig) -> HMCConfig:
             raise ValueError(
                 f"monomial {m.name} timescale {m.timescale} >= {n_levels} levels"
             )
-    return HMCConfig(lat=lat, monomials=monomials, integrator=integ)
+    mask = None
+    if any(s.type.upper() == "SFGAUGE" for s in specs):
+        from tmlqcd_tpu.ops.sf import sf_momenta_mask
+
+        mask = sf_momenta_mask(lat)
+    return HMCConfig(lat=lat, monomials=monomials, integrator=integ,
+                     momenta_mask=mask)

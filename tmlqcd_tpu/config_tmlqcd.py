@@ -206,6 +206,11 @@ def _monomial(name: str, blk: dict, theta=(1.0, 0.0, 0.0, 0.0)) -> MonomialSpec:
         solver=blk.get("solver", "auto").lower(),
         csg_history=i("csghistory", 3),
         theta=theta,
+        # SFGAUGE boundary-field keys (reference: sf_gauge_monomial.c; the
+        # background-field parameters eta/nu and the c_t boundary weight)
+        eta=f("eta"),
+        nu=f("nu"),
+        ct=f("ct", 1.0),
         name=blk.get("name", ""),
     )
 
@@ -247,6 +252,9 @@ def _measurement(name: str, blk: dict) -> MeasurementSpec:
         direction=i("direction", 0),
         max_solver_iterations=i("maxsolveriterations", 5000),
         precision=f("solverprecision", 1e-18),
+        eta=f("eta"),
+        nu=f("nu"),
+        ct=f("ct", 1.0),
     )
 
 

@@ -145,8 +145,14 @@ def _expand_schedule(cfg: IntegratorConfig, timescales) -> tuple:
     return np.stack(kick_rows), np.asarray(drift_dts)
 
 
-def integrate(cfg: IntegratorConfig, monomials, aux_list, u, p, chrono=None):
+def integrate(cfg: IntegratorConfig, monomials, aux_list, u, p, chrono=None,
+              freeze_mask=None):
     """Run one MD trajectory of length cfg.tau.
+
+    `freeze_mask` (optional, [4,T,X,Y*Z] 0/1): entries with mask 0 are
+    Dirichlet-frozen dofs (Schrödinger functional): the drift restores them
+    bit-exactly after reunitarization (the masked momenta keep them
+    stationary up to project_su3 rounding; the restore removes even that).
 
     `monomials` is the static list; `aux_list` the per-monomial pseudofermion
     state (from heatbath), both closed over.
@@ -222,6 +228,8 @@ def integrate(cfg: IntegratorConfig, monomials, aux_list, u, p, chrono=None):
         unew = su3.mul(su3.expm_ta(eps * p), u)
         if cfg.reunitarize_every == 1:
             unew = su3.project_su3(unew)
+        if freeze_mask is not None:
+            unew = jnp.where(freeze_mask == 0.0, u, unew)
         return unew
 
     def body(carry, xs):

@@ -72,6 +72,39 @@ class GaugeMonomial:
         return ta_force_from_grad(u, g)
 
 
+@dataclasses.dataclass(frozen=True)
+class SFGaugeMonomial:
+    """Schrödinger-functional Wilson gauge action: Dirichlet-in-time
+    boundaries with the abelian background field W(η, ν) frozen at x0=0/T
+    (reference: sf_gauge_monomial.c).  The force is `jax.grad` of the SF
+    action — exactly zero on frozen dofs because they never enter it; pair
+    with HMCConfig.momenta_mask = ops.sf.sf_momenta_mask(lat) so the kinetic
+    drift keeps the frozen slots fixed too."""
+
+    lat: Lattice
+    beta: float
+    eta: float = 0.0
+    nu: float = 0.0
+    ct: float = 1.0
+    timescale: int = 0
+    name: str = "sfgauge"
+
+    def _s(self, u):
+        from tmlqcd_tpu.ops.sf import sf_gauge_action
+
+        return sf_gauge_action(u, self.beta, self.lat, self.eta, self.nu, self.ct)
+
+    def heatbath(self, u, key):
+        return None, self._s(u)
+
+    def action(self, u, aux):
+        return self._s(u)
+
+    def force(self, u, aux):
+        g = jax.grad(self._s)(u)
+        return ta_force_from_grad(u, g)
+
+
 def _qhat_plus_full(u, psi_o, params, lat, sign=+1.0):
     """Qhat(+-) as a function of the FULL gauge field (packs internally so
     jax.grad w.r.t. u flows through the e/o view)."""

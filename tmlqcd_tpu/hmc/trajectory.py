@@ -34,6 +34,10 @@ class HMCConfig:
     lat: object
     monomials: tuple
     integrator: IntegratorConfig
+    # Optional [4,T,X,Y*Z] 0/1 momenta mask (Schrödinger functional: zero on
+    # the Dirichlet-frozen dofs so they carry no kinetic term and never
+    # drift; see ops.sf.sf_momenta_mask).  None = all links dynamical.
+    momenta_mask: Any = None
 
 
 class TrajectoryStats(NamedTuple):
@@ -79,12 +83,15 @@ def hmc_trajectory(cfg: HMCConfig, u: jax.Array, key: jax.Array):
     k_mom, k_pf, k_acc = jax.random.split(key, 3)
 
     p = su3.random_momenta(k_mom, u.shape[2:], u.dtype)
+    if cfg.momenta_mask is not None:
+        p = p * cfg.momenta_mask
     aux_list, s_old = _heatbaths(cfg, u, k_pf)
     h_old = su3.kinetic_energy(p) + s_old
 
     ch0 = _chrono_states(cfg)
     u_new, p_new, ch, force_iters = integrate(
-        cfg.integrator, cfg.monomials, aux_list, u, p, chrono=ch0
+        cfg.integrator, cfg.monomials, aux_list, u, p, chrono=ch0,
+        freeze_mask=cfg.momenta_mask,
     )
 
     s_new = jnp.asarray(0.0, jnp.float64)
@@ -125,11 +132,15 @@ def reversibility_check(cfg: HMCConfig, u: jax.Array, key: jax.Array):
     input / `return_check`)."""
     k_mom, k_pf = jax.random.split(key)
     p = su3.random_momenta(k_mom, u.shape[2:], u.dtype)
+    if cfg.momenta_mask is not None:
+        p = p * cfg.momenta_mask
     aux_list, s_old = _heatbaths(cfg, u, k_pf)
     h_old = su3.kinetic_energy(p) + s_old
 
-    u1, p1 = integrate(cfg.integrator, cfg.monomials, aux_list, u, p)
-    u2, p2 = integrate(cfg.integrator, cfg.monomials, aux_list, u1, -p1)
+    u1, p1 = integrate(cfg.integrator, cfg.monomials, aux_list, u, p,
+                       freeze_mask=cfg.momenta_mask)
+    u2, p2 = integrate(cfg.integrator, cfg.monomials, aux_list, u1, -p1,
+                       freeze_mask=cfg.momenta_mask)
 
     s_back = jnp.asarray(0.0, jnp.float64)
     for i, m in enumerate(cfg.monomials):

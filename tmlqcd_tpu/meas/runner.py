@@ -70,6 +70,17 @@ def run_measurements(cfg, u, lat: Lattice, traj: int, run_dir: str, key) -> None
             op = np.asarray(oriented_plaquettes(u, lat))
             with open(os.path.join(run_dir, "oriented_plaquettes.data"), "a") as f:
                 f.write(f"{traj:08d} " + " ".join(f"{v:.10f}" for v in op) + "\n")
+        elif ty == "SFCOUPLING":
+            from tmlqcd_tpu.ops.sf import sf_observables
+
+            obs = sf_observables(u, cfg.beta, lat, m.eta, m.nu, m.ct)
+            with open(os.path.join(run_dir, "sf_coupling.data"), "a") as f:
+                # columns: traj dS/deta k S_sf  (ensemble estimator:
+                # gbar^2 = k / <dS/deta>; reference: sf_observables.c)
+                f.write(
+                    f"{traj:08d} {float(obs['dS_deta']):+.10e} "
+                    f"{float(obs['k']):.10e} {float(obs['action']):.10e}\n"
+                )
         elif ty == "FIELDSTRENGTH":
             from tmlqcd_tpu.meas import field_strength_observables
 

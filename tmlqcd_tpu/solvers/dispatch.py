@@ -103,6 +103,19 @@ def _dfl(matvec, b, tol, maxiter, **kw):
                    restart=kw.get("restart", 20))
 
 
+def _dflgcr(matvec, b, tol, maxiter, **kw):
+    """GCR preconditioned by the deflation V-cycle (reference: the DFLGCR
+    solver type next to DFLFGMRES in solver/solver_types.h)."""
+    from tmlqcd_tpu.solvers.deflation import vcycle
+
+    setup = kw.get("deflation_setup")
+    if setup is None:
+        raise ValueError("solver 'dflgcr' needs deflation_setup=...")
+    return _gcr(matvec, b, tol, maxiter,
+                precond=lambda r: vcycle(setup, matvec, r),
+                restart=kw.get("restart", 20))
+
+
 SOLVERS: dict[str, Callable] = {
     "cg": _cg,
     "mixedcg": _mixedcg,
@@ -115,6 +128,7 @@ SOLVERS: dict[str, Callable] = {
     "mr": _mr,
     "dfl": _dfl,
     "dflfgmres": _dfl,
+    "dflgcr": _dflgcr,
 }
 
 
