@@ -12,9 +12,11 @@ demonstrates the crossover end-to-end through `invert_eo`:
      solver='dflfgmres' (setup built ONCE, reused across sources),
   3. report wall time per solve (setup amortized) + iteration counts.
 
-Runs on the CPU backend by default (the deflation little-op/Krylov path
-uses complex128 accumulators, unsupported on TPU); both solvers run on the
-same backend so the wall-time comparison is apples-to-apples.
+Runs on the active backend (TPU included — the coarse little-operator
+inverse happens on the host in f64, see solvers.deflation._coarse_inverse,
+so no complex128 reaches the device); pass --cpu to force the CPU backend.
+Both solvers run on the same backend so the wall-time comparison is
+apples-to-apples.
 
 Usage: python bench/bench_mg.py [--dims 8 8 8 16] [--kappa K] [--sources N]
 """
@@ -34,7 +36,8 @@ import jax
 
 
 def main(argv=None):
-    jax.config.update("jax_platforms", "cpu")
+    if "--cpu" in (argv if argv is not None else sys.argv[1:]):
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 
@@ -56,6 +59,7 @@ def main(argv=None):
     ap.add_argument("--sources", type=int, default=4)
     ap.add_argument("--nvec", type=int, default=12)
     ap.add_argument("--target-iters", type=int, default=600)
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
     lat = Lattice(tuple(args.dims))
@@ -74,21 +78,37 @@ def main(argv=None):
     def cg_iters(kappa):
         p = DiracParams(kappa=kappa, mu=args.mu)
         src = point_source(lat, 0, 0, (0, 0, 0, 0), jnp.complex64)
-        r = invert_eo(u, src, p, lat, tol=args.tol, maxiter=4000, solver="cg")
+        # jitted: the eager operator path stages complex constants, which
+        # the axon TPU transport cannot transfer
+        r = jax.jit(lambda u_, s_: invert_eo(
+            u_, s_, p, lat, tol=args.tol, maxiter=4000, solver="cg"))(u, src)
         return int(r.iterations), r
 
     if args.kappa is None:
-        # walk toward (and past) the critical kappa of THIS configuration
-        # until the normal-equation CG genuinely struggles — that is the
-        # light-quark regime where MG pays off
+        # walk toward the critical kappa of THIS configuration until the
+        # normal-equation CG genuinely struggles — that is the light-quark
+        # regime where MG pays off.  Iteration counts rise toward kappa_c
+        # and FALL past it (supercritical), so stop at the target OR at the
+        # peak (two consecutive decreases) and use the argmax.
         kappa = 0.125
+        best = (0, kappa)
+        drops = 0
         while kappa < 0.40:
             n, _ = cg_iters(kappa)
             print(f"# kappa={kappa:.4f}: cg iters={n}", file=sys.stderr)
+            if n > best[0]:
+                best = (n, kappa)
+                drops = 0
+            else:
+                drops += 1
+                if drops >= 2:
+                    break
             if n >= args.target_iters:
                 break
             step_k = 0.01 if n < 100 else 0.005 if n < 300 else 0.002
             kappa = round(kappa + step_k, 4)
+        kappa = best[1]
+        print(f"# chosen kappa={kappa:.4f} (peak cg iters={best[0]})", file=sys.stderr)
     else:
         kappa = args.kappa
     params = DiracParams(kappa=kappa, mu=args.mu)
@@ -112,10 +132,14 @@ def main(argv=None):
         sol_cg.append(r)
     t_cg = (time.perf_counter() - t0) / len(srcs)
 
-    # --- MG: setup once per gauge, reuse across sources ---
+    # --- MG: setup once per gauge, reuse across sources (jitted: eager
+    # op-by-op dispatch over the axon tunnel would dominate on TPU) ---
+    setup_fn = jax.jit(lambda u_: make_deflation_setup(
+        u_, params, lat, n_vectors=args.nvec,
+        blocks=(2, 2, 2), inv_iters=3, smooth_iters=4))
+    jax.block_until_ready(setup_fn(u).v)  # compile warmup (cached per shape)
     t0 = time.perf_counter()
-    setup = make_deflation_setup(u, params, lat, n_vectors=args.nvec,
-                                 blocks=(2, 2, 2), inv_iters=3, smooth_iters=4)
+    setup = setup_fn(u)
     jax.block_until_ready(setup.v)
     t_setup = time.perf_counter() - t0
 

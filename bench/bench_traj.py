@@ -29,6 +29,8 @@ def main(argv=None):
     ap.add_argument("--dims", type=int, nargs=4, default=None)
     ap.add_argument("--n", type=int, default=3)
     ap.add_argument("--therm", type=int, default=10)
+    ap.add_argument("--solver", default="auto",
+                    help="per-monomial Solver override (auto|cg|mixedcg|rgmixedcg)")
     args = ap.parse_args(argv)
 
     from tmlqcd_tpu import su3
@@ -47,6 +49,11 @@ def main(argv=None):
         lat, beta=5.3, kappa=0.13, mu=0.01, mu_hasenbusch=0.1,
         tau=1.0, steps=(2, 2, 5), acc_tol=1e-8, force_tol=1e-7, maxiter=1000,
     )
+    if args.solver != "auto":
+        import dataclasses
+        cfg = dataclasses.replace(cfg, monomials=tuple(
+            dataclasses.replace(m, solver=args.solver) if hasattr(m, "solver") else m
+            for m in cfg.monomials))
     step = jax.jit(functools.partial(hmc_trajectory, cfg))
     u = su3.random_su3(jax.random.key(0), (4,) + lat.site_shape, jnp.complex64)
 
@@ -80,6 +87,7 @@ def main(argv=None):
                 "acceptance": sum(accepts) / len(accepts),
                 "mean_abs_dh": round(sum(abs(d) for d in dhs) / len(dhs), 4),
                 "device": jax.devices()[0].device_kind,
+                "solver": args.solver,
             }
         )
     )

@@ -147,3 +147,65 @@ def test_invert_cli_smeared_z2_source(tmp_path):
     prop = np.load(out[0])["propagator"]
     assert prop.shape[0] == 1  # one stochastic source
     assert np.isfinite(prop).all() and np.linalg.norm(prop) > 0
+
+
+# ---------------------------------------------------------------------------
+# stout smearing (reference: stout_smear.c, UseStoutSmearing/StoutRho keys)
+
+
+def test_stout_su3_and_gauge_covariance():
+    """The analytic exp(TA(.)) update stays in SU(3) exactly (no projection
+    step) and commutes with gauge rotations — pins every adjoint in Omega."""
+    from tmlqcd_tpu.meas.smearing import stout_smear
+
+    u = su3.random_su3(jax.random.key(10), (4,) + LAT.site_shape, jnp.complex64)
+    on_links, _ = _random_gauge_rotation(jax.random.key(11))
+    a = on_links(stout_smear(u, LAT, rho=0.12, n_iter=2))
+    b = stout_smear(on_links(u), LAT, rho=0.12, n_iter=2)
+    rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a))
+    assert rel < 1e-5, rel
+    assert float(su3.unitarity_defect(b)) < 1e-5
+
+
+def test_stout_rho0_identity_and_smooths():
+    """rho=0 is exactly the identity map; rho>0 raises the plaquette on a
+    warm config (the smoothing the smearing exists for)."""
+    from tmlqcd_tpu.meas.smearing import stout_smear
+
+    h = su3.random_momenta(jax.random.key(12), (4,) + LAT.site_shape)
+    u = su3.expm_ta(0.6 * h)
+    assert float(jnp.max(jnp.abs(stout_smear(u, LAT, rho=0.0, n_iter=2) - u))) < 1e-6
+    p0 = float(plaquette(u, LAT))
+    p1 = float(plaquette(stout_smear(u, LAT, rho=0.1, n_iter=1), LAT))
+    p3 = float(plaquette(stout_smear(u, LAT, rho=0.1, n_iter=3), LAT))
+    assert p1 > p0 + 0.05, (p0, p1)
+    assert p3 > p1, (p1, p3)
+
+
+def test_stout_spatial_only_keeps_temporal():
+    from tmlqcd_tpu.meas.smearing import stout_smear
+
+    u = su3.random_su3(jax.random.key(13), (4,) + LAT.site_shape, jnp.complex64)
+    sm = stout_smear(u, LAT, rho=0.15, n_iter=2, spatial_only=True)
+    assert float(jnp.max(jnp.abs(sm[:, :, 0] - u[:, :, 0]))) == 0.0
+    assert float(jnp.max(jnp.abs(sm[:, :, 1] - u[:, :, 1]))) > 1e-3
+
+
+def test_stout_differentiable_vs_fd():
+    """jax.grad through the smearing (the reference's hand-derived
+    stout_force chain rule): directional derivative of plaquette(stout(U))
+    against central finite differences."""
+    from tmlqcd_tpu.meas.smearing import stout_smear
+
+    lat = Lattice((2, 2, 2, 2))
+    u = su3.random_su3(jax.random.key(14), (4,) + lat.site_shape, jnp.complex64)
+    h = su3.random_momenta(jax.random.key(15), (4,) + lat.site_shape)
+
+    def f(eps):
+        ue = su3.mul(su3.expm_ta(eps * h), u)
+        return jnp.sum(plaquette(stout_smear(ue, lat, rho=0.1, n_iter=2), lat))
+
+    g = float(jax.grad(lambda e: f(e))(jnp.asarray(0.0, jnp.float32)))
+    eps = 1e-2
+    fd = float((f(jnp.asarray(eps)) - f(jnp.asarray(-eps))) / (2 * eps))
+    assert abs(g - fd) < 5e-3 * max(1.0, abs(fd)), (g, fd)

@@ -67,6 +67,18 @@ def main(argv=None):
     u = jnp.asarray(arr, jnp.complex64)
     os.makedirs(args.output_dir, exist_ok=True)
 
+    # operator-level stout smearing of the gauge field (reference:
+    # stout_smear.c, UseStoutSmearing/StoutRho/StoutNoIterations): every
+    # operator below sees the smeared links; sources/correlators keep
+    # their own Jacobi/APE smearing independent of this
+    if cfg.use_stout_smearing and cfg.stout_iterations > 0:
+        from tmlqcd_tpu.meas.smearing import stout_smear
+
+        u = jax.jit(lambda x: stout_smear(
+            x, lat, cfg.stout_rho, cfg.stout_iterations))(u)
+        print(f"[invert] stout smearing: rho={cfg.stout_rho} "
+              f"iters={cfg.stout_iterations}")
+
     if not cfg.operators:
         print("[invert] no BeginOperator block in input", file=sys.stderr)
         return 1

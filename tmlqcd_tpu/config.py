@@ -182,6 +182,11 @@ class RunConfig:
     jacobi_iterations: int = 5
     ape_alpha: float = 0.5
     ape_iterations: int = 4
+    # reference: UseStoutSmearing/StoutRho/StoutNoIterations — operator-level
+    # stout smearing of the gauge field read by the invert driver
+    use_stout_smearing: bool = False
+    stout_rho: float = 0.1
+    stout_iterations: int = 1
     # reference: GaugeConfigInputFile (basename; the driver appends
     # .<nstore:04d> like invert.c) and GaugeConfigWritePrecision (32|64 bits
     # per real in the ILDG binary payload)

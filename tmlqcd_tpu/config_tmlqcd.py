@@ -172,6 +172,9 @@ def parse_input(text: str) -> RunConfig:
         jacobi_iterations=gi("jacobiiterations", 5),
         ape_alpha=gf("apealpha", 0.5),
         ape_iterations=gi("apeiterations", 4),
+        use_stout_smearing=bool(gi("usestoutsmearing", 0)),
+        stout_rho=gf("stoutrho", 0.1),
+        stout_iterations=gi("stoutnoiterations", 1),
         gauge_config_input=g.get("gaugeconfiginputfile", ""),
         gauge_write_precision=gi("gaugeconfigwriteprecision", 64),
         nr_procs=(gi("nrtprocs", 0), gi("nrxprocs", 0),

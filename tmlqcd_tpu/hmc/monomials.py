@@ -146,12 +146,22 @@ class SolveOut(NamedTuple):
 
 
 def _resolve_solver(solver: str) -> str:
-    """'auto' -> reliable-update bf16-sloppy mixed CG on the TPU fast path
-    (reference: the ExternalInverter default routing in monomial_solve.c),
-    plain CG on the jnp/CPU path."""
+    """'auto' -> plain CG on every path (reference: the CG default of
+    monomial_solve.c; Solver = mixedcg/rgmixedcg stays selectable per
+    monomial).
+
+    Measured (round 4, TPU v5e, 16^3x32 Hasenbusch bench point kappa=0.13
+    mu=0.01 tol 1e-8): f32 CG converges in ~21 iterations where the
+    bf16-sloppy-gauge inner solvers pay a large iteration inflation at the
+    bf16 noise floor (mixed 253 inner, rgmixed >1000) — end-to-end
+    trajectories run 2.89 s with CG vs 4.26 s with rgmixedcg.  The 1.2x
+    per-iteration bandwidth win of the bf16 gauge stream cannot buy back a
+    >10x iteration inflation, so mixed precision is opt-in, for the
+    ill-conditioned light-mass solves where the f32 stream is
+    iteration-bound, not accuracy-bound."""
     if solver != "auto":
         return solver.lower()
-    return "rgmixedcg" if _use_fast_solves() else "cg"
+    return "cg"
 
 
 def _seam_solve(mv, b, name, tol, maxiter, mv_lo=None, lo_dtype=None, x0=None):

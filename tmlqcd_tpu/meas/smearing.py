@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from tmlqcd_tpu import su3
 from tmlqcd_tpu.lattice import Lattice, shift_full
 
-__all__ = ["jacobi_smear", "ape_smear_spatial"]
+__all__ = ["jacobi_smear", "ape_smear_spatial", "stout_smear"]
 
 
 def _cov_fwd(u_i: jax.Array, psi: jax.Array, i: int, lat: Lattice) -> jax.Array:
@@ -75,13 +75,14 @@ def jacobi_smear(
     return out
 
 
-def _spatial_staples(u: jax.Array, i: int, lat: Lattice) -> jax.Array:
-    """Sum of the 4 spatial staples around U_i: for j in {1,2,3}\\{i},
+def _staples(u: jax.Array, i: int, lat: Lattice, dirs) -> jax.Array:
+    """Sum of staples around U_i over the planes (i, j), j in dirs\\{i}:
     up   = U_j(x) U_i(x+j) U_j(x+i)^dag
-    down = U_j(x-j)^dag U_i(x-j) U_j(x-j+i)."""
+    down = U_j(x-j)^dag U_i(x-j) U_j(x-j+i)
+    (so U_i(x) staple^dag closes the up/down plaquettes)."""
     u_i = u[:, :, i]
     acc = None
-    for j in (1, 2, 3):
+    for j in dirs:
         if j == i:
             continue
         u_j = u[:, :, j]
@@ -112,8 +113,53 @@ def ape_smear_spatial(
     def sweep(uc, _):
         new = [uc[:, :, 0]]
         for i in (1, 2, 3):
-            st = _spatial_staples(uc, i, lat)
+            st = _staples(uc, i, lat, (1, 2, 3))
             new.append(su3.project_su3_polar((1.0 - a) * uc[:, :, i] + (a / 4.0) * st))
+        return jnp.stack(new, axis=2), None
+
+    out, _ = jax.lax.scan(sweep, u, None, length=n_iter)
+    return out
+
+
+def stout_smear(
+    u: jax.Array,
+    lat: Lattice,
+    rho: float = 0.1,
+    n_iter: int = 1,
+    spatial_only: bool = False,
+) -> jax.Array:
+    """N stout-smearing sweeps (Morningstar-Peardon; reference:
+    stout_smear.c driven by the UseStoutSmearing/StoutRho/
+    StoutNoIterations input keys):
+
+        Omega_mu = rho * C_mu U_mu^dag   (C_mu = staple sum around U_mu)
+        U_mu    -> exp(TA(Omega_mu)) U_mu
+
+    with TA the traceless-antihermitian projection (su3.ta_project) — the
+    exact SU(3)-preserving analytic smearing.  Unlike APE there is no
+    reunitarization step, so the map is smooth in U and `jax.grad`
+    differentiates through it exactly (the reference needs the hand-derived
+    stout_force chain rule; here forces through smeared operators come for
+    free from AD, exp included — expm_ta is the differentiable
+    scaling-squaring exponential the MD drift already uses).
+
+    `spatial_only=True` smears only the spatial links with spatial staples
+    (the variant paired with temporal-direction observables); the default
+    smears all four directions isotropically like the reference.
+    """
+    r = jnp.asarray(rho, u.real.dtype)
+    dirs = (1, 2, 3) if spatial_only else (0, 1, 2, 3)
+
+    def sweep(uc, _):
+        new = []
+        for mu in range(4):
+            if spatial_only and mu == 0:
+                new.append(uc[:, :, 0])
+                continue
+            c = _staples(uc, mu, lat, dirs)
+            omega = su3.mul(r * c, su3.adj(uc[:, :, mu]))
+            q = su3.ta_project(omega)
+            new.append(su3.mul(su3.expm_ta(q), uc[:, :, mu]))
         return jnp.stack(new, axis=2), None
 
     out, _ = jax.lax.scan(sweep, u, None, length=n_iter)

@@ -24,8 +24,17 @@ def point_source(
     (reference: source_generation.c point source per spin-color)."""
     t, x, y, z = site
     m = y * lat.dims[3] + z
-    src = jnp.zeros((4, 3) + lat.site_shape, dtype)
-    return src.at[spin, color, t, x, m].set(jnp.asarray(1.0, dtype))
+
+    # built under jit: every input is static, and the eager complex
+    # scatter/constant path is unimplemented over the axon TPU transport
+    # (complex buffers cannot cross host<->device; on-device construction
+    # inside a compiled program is fine)
+    @jax.jit
+    def build():
+        src = jnp.zeros((4, 3) + lat.site_shape, dtype)
+        return src.at[spin, color, t, x, m].set(jnp.asarray(1.0, dtype))
+
+    return build()
 
 
 def z2_timeslice_source(
