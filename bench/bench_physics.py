@@ -15,9 +15,9 @@ widely reproduced beta=6.0 value):
 
 Finite-volume effects on the plaquette at 8^4 are far below the quoted MC
 errors here.  Statistics: C independent vmapped chains
-(`parallel.parallel_chains`), therm discarded, error = std of chain means /
-sqrt(C-1) (chains are independent by construction: counter-based RNG keyed
-per chain).
+(`parallel.parallel_chains`), therm discarded, error = the standard error of
+the mean: std(ddof=1) of chain means / sqrt(C) (chains are independent by
+construction: counter-based RNG keyed per chain).
 
 Usage: python bench/bench_physics.py [--dims 8 8 8 8] [--chains 8]
        [--therm 150] [--n 400] [--beta 6.0 5.7]

@@ -24,21 +24,29 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: CG/HMC while-loops take minutes to compile on
-# CPU; repeated test runs reuse the cached executables.  Keyed by a CPU-feature
-# fingerprint: XLA:CPU AOT entries embed machine code specialized to the build
-# host, and loading one on a host with different features warns loudly and can
-# SIGILL (observed across round machines).
+# CPU; repeated test runs on the SAME machine reuse the cached executables.
+#
+# The cache lives under /tmp, NOT inside the repo tree: XLA:CPU AOT entries
+# embed machine code specialized to the build host, and a cache directory
+# carried inside the repo snapshot travels between round machines — a
+# poisoned entry then segfaults the whole pytest process inside cache
+# deserialization (observed round 4: two hosts shared a flags-line
+# fingerprint but not compatible AOT code).  /tmp never travels with the
+# repo, so the cache is per-host by construction; the fingerprint (FULL
+# cpuinfo hash, not just the flags line) additionally guards shared /tmp.
 import hashlib  # noqa: E402
+import tempfile  # noqa: E402
 
 try:
     with open("/proc/cpuinfo") as _f:
-        _flags = next(l for l in _f if l.startswith("flags"))
-except (OSError, StopIteration):
-    _flags = "unknown"
-_fp = hashlib.sha256((_flags + jax.__version__).encode()).hexdigest()[:12]
-_cache_dir = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), f".jax_cache_{_fp}"
-)
+        # drop volatile lines (cpu MHz, bogomips jitter across boots)
+        _info = "".join(
+            l for l in _f if not l.startswith(("cpu MHz", "bogomips"))
+        )
+except OSError:
+    _info = "unknown"
+_fp = hashlib.sha256((_info + jax.__version__).encode()).hexdigest()[:12]
+_cache_dir = os.path.join(tempfile.gettempdir(), f"tmlqcd_tpu_testcache_{_fp}")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -123,6 +123,19 @@ def parse_input(text: str) -> RunConfig:
     def gf(key, default):
         return _num(g[key]) if key in g else default
 
+    def gb(key, default=False):
+        """Boolean keys in the reference grammar are spelled yes/no (e.g.
+        'UseStoutSmearing = yes', read_input.l BOOL tokens); accept
+        yes/no/true/false/on/off/0/1."""
+        if key not in g:
+            return default
+        v = g[key].strip().lower()
+        if v in ("yes", "true", "on", "1"):
+            return True
+        if v in ("no", "false", "off", "0"):
+            return False
+        return bool(_num(v))
+
     # keys that exist in the reference but are structurally fixed here:
     # even/odd preconditioning is always on (the whole operator stack is
     # eo-packed) and the counter RNG is reproducible by construction
@@ -156,7 +169,7 @@ def parse_input(text: str) -> RunConfig:
         monomials=tuple(monomials),
         operators=tuple(operators),
         meas=tuple(meas),
-        reversibility_check=bool(gi("reversibilitycheck", 0)),
+        reversibility_check=gb("reversibilitycheck", False),
         reversibility_interval=gi("reversibilitycheckintervall", 100),
         debug_level=gi("debuglevel", 1),
         initial_store_counter=isc,
@@ -167,12 +180,12 @@ def parse_input(text: str) -> RunConfig:
             g.get("sourcetype", "point").lower(),
             g.get("sourcetype", "point").lower()),
         source_timeslice=gi("sourcetimeslice", 0),
-        use_source_smearing=bool(gi("usesourcesmearing", gi("usesmearing", 0))),
+        use_source_smearing=gb("usesourcesmearing", gb("usesmearing", False)),
         jacobi_kappa=gf("jacobikappa", 0.21),
         jacobi_iterations=gi("jacobiiterations", 5),
         ape_alpha=gf("apealpha", 0.5),
         ape_iterations=gi("apeiterations", 4),
-        use_stout_smearing=bool(gi("usestoutsmearing", 0)),
+        use_stout_smearing=gb("usestoutsmearing", False),
         stout_rho=gf("stoutrho", 0.1),
         stout_iterations=gi("stoutnoiterations", 1),
         gauge_config_input=g.get("gaugeconfiginputfile", ""),

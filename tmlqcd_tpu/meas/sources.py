@@ -7,6 +7,8 @@ survey §2.9.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -14,6 +16,18 @@ from tmlqcd_tpu import rng
 from tmlqcd_tpu.lattice import Lattice
 
 __all__ = ["point_source", "z2_timeslice_source", "volume_source", "gaussian_timeslice_source"]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _point_source_jit(shape, spin, color, t, x, m, dtype=jnp.complex64):
+    # built under jit: every input is static, and the eager complex
+    # scatter/constant path is unimplemented over the axon TPU transport
+    # (complex buffers cannot cross host<->device; on-device construction
+    # inside a compiled program is fine).  Module-level jit so the 12
+    # per-spin-color calls of the invert driver hit ONE cached executable
+    # instead of retracing a fresh closure each call.
+    src = jnp.zeros(shape, dtype)
+    return src.at[spin, color, t, x, m].set(jnp.asarray(1.0, dtype))
 
 
 def point_source(
@@ -24,17 +38,7 @@ def point_source(
     (reference: source_generation.c point source per spin-color)."""
     t, x, y, z = site
     m = y * lat.dims[3] + z
-
-    # built under jit: every input is static, and the eager complex
-    # scatter/constant path is unimplemented over the axon TPU transport
-    # (complex buffers cannot cross host<->device; on-device construction
-    # inside a compiled program is fine)
-    @jax.jit
-    def build():
-        src = jnp.zeros((4, 3) + lat.site_shape, dtype)
-        return src.at[spin, color, t, x, m].set(jnp.asarray(1.0, dtype))
-
-    return build()
+    return _point_source_jit((4, 3) + lat.site_shape, spin, color, t, x, m, dtype)
 
 
 def z2_timeslice_source(

@@ -43,11 +43,13 @@ class DeflationSetup:
     v: jax.Array  # [Ns, 4, 3, T, X, M] orthonormalized subspace vectors
     blocks: tuple[int, int, int]  # (nbt, nbx, nbm) block counts
     a_inv: jax.Array  # dense inverse of the little operator [n, n], c64
+    a: jax.Array | None = None  # the little operator itself (iterative
+    # refinement of the coarse solve; None in setups built before round 5)
     smooth_iters: int = 4
 
 
 jax.tree_util.register_dataclass(
-    DeflationSetup, data_fields=["v", "a_inv"], meta_fields=["blocks", "smooth_iters"]
+    DeflationSetup, data_fields=["v", "a_inv", "a"], meta_fields=["blocks", "smooth_iters"]
 )
 
 
@@ -189,7 +191,8 @@ def setup_deflation(
     # rows of col_chunks are (j, b)-ordered columns -> stack then transpose
     a = jnp.concatenate(col_chunks, axis=0).T  # [n, n]
     return DeflationSetup(
-        v=vs, blocks=blocks, a_inv=_coarse_inverse(a), smooth_iters=smooth_iters
+        v=vs, blocks=blocks, a_inv=_coarse_inverse(a), a=a.astype(jnp.complex64),
+        smooth_iters=smooth_iters,
     )
 
 
@@ -198,6 +201,16 @@ def vcycle(setup: DeflationSetup, matvec: Callable, r: jax.Array) -> jax.Array:
     (reference: dfl_projector.c used as the DFLFGMRES preconditioner)."""
     w = _restrict(setup.v, r, setup.blocks).reshape(-1).astype(setup.a_inv.dtype)
     cw = jnp.matmul(setup.a_inv, w, precision="highest")
+    if setup.a is not None:
+        # one step of iterative refinement: the little operator is built
+        # from near-kernel vectors, so cond(A) grows toward light masses and
+        # a one-shot f32 dense inverse loses exactly where deflation is
+        # needed most; the refinement restores the coarse solve to f32
+        # residual-level accuracy at the cost of one tiny matmul pair
+        cw = cw + jnp.matmul(
+            setup.a_inv, w - jnp.matmul(setup.a, cw, precision="highest"),
+            precision="highest",
+        )
     c = _prolong(setup.v, cw.reshape(setup.v.shape[0], -1).astype(r.dtype), setup.blocks)
     if setup.smooth_iters > 0:
         rs = r - matvec(c)
