@@ -59,7 +59,7 @@ def main(argv=None):
     from tmlqcd_tpu import su3
     from tmlqcd_tpu.config import build_hmc
     from tmlqcd_tpu.config_tmlqcd import read_input
-    from tmlqcd_tpu.hmc import hmc_trajectory, reversibility_check
+    from tmlqcd_tpu.hmc import chrono_states, hmc_trajectory, reversibility_check
     from tmlqcd_tpu.io.checkpoint import (
         checkpoint_at,
         latest_checkpoint,
@@ -112,6 +112,10 @@ def main(argv=None):
         check_rational_intervals(hmc, u, key=jax.random.fold_in(key, 10**6))
 
     step = jax.jit(functools.partial(hmc_trajectory, hmc))
+    # chrono history persisted ACROSS trajectories (reference: csg_field
+    # lives in the monomial struct for the whole run; reset on reject
+    # inside hmc_trajectory)
+    chrono = chrono_states(hmc)
     rect_fn = jax.jit(lambda u: rectangle(u, lat))
     udef_fn = jax.jit(su3.unitarity_defect)
     out_path = os.path.join(run_dir, "output.data")
@@ -124,7 +128,7 @@ def main(argv=None):
     traj = start_traj - 1
     for traj in range(start_traj, start_traj + cfg.measurements):
         t0 = time.perf_counter()
-        u, st = step(u, jax.random.fold_in(key, traj + 1))
+        u, st, chrono = step(u, jax.random.fold_in(key, traj + 1), chrono)
         jax.block_until_ready(u)
         dt = time.perf_counter() - t0
         acc = int(st.accepted)

@@ -215,6 +215,20 @@ def integrate(cfg: IntegratorConfig, monomials, aux_list, u, p, chrono=None,
                 fi, hi, ki = jax.lax.cond(coeffs[i] != 0.0, live, skip)
                 ch = ch[:i] + (hi,) + ch[i + 1:]
                 its = its.at[i].add(ki)
+            elif hasattr(m, "force_info"):
+                # solver-backed forces without chrono (rational/multishift
+                # monomials): surface the MD solve iteration count
+                # (reference: output.data per-monomial solver iterations,
+                # survey §5.5)
+                def live_fi(u=u, i=i, m=m):
+                    fi_, ki_ = m.force_info(u, aux_list[i])
+                    return fi_, jnp.asarray(ki_, jnp.int32)
+
+                def skip_fi(u=u):
+                    return jnp.zeros_like(u), jnp.asarray(0, jnp.int32)
+
+                fi, ki = jax.lax.cond(coeffs[i] != 0.0, live_fi, skip_fi)
+                its = its.at[i].add(ki)
             else:
                 fi = jax.lax.cond(
                     coeffs[i] != 0.0,

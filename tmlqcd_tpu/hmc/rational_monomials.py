@@ -152,6 +152,13 @@ class NDRatMonomial:
         return s, iters
 
     def force(self, u, phi):
+        return self.force_info(u, phi)[0]
+
+    def force_info(self, u, phi):
+        """(F, multishift iterations) — the per-monomial MD solver-iteration
+        count of the reference's output.data contract (survey §5.5: the
+        reference prints every monomial's solver iterations per trajectory;
+        ndrat_monomial.c's derivative reports its cg_mms_tm_nd count)."""
         from tmlqcd_tpu.hmc.monomials import _use_fast_solves
 
         rat = self.rat
@@ -202,8 +209,8 @@ class NDRatMonomial:
                 return s
 
             g = jax.grad(surrogate)(u)
-            return ta_force_from_grad(u, g)
-        xs = self._mms(u, phi, rat.sigma, self.force_tol)
+            return ta_force_from_grad(u, g), res.iterations
+        xs, iters = self._mms_info(u, phi, rat.sigma, self.force_tol)
         ys = jnp.stack([self._q(u, xs[j]) for j in range(rat.order)])
         xs = jax.lax.stop_gradient(xs)
         ys = jax.lax.stop_gradient(ys)
@@ -217,7 +224,7 @@ class NDRatMonomial:
             return s
 
         g = jax.grad(surrogate)(u)
-        return ta_force_from_grad(u, g)
+        return ta_force_from_grad(u, g), iters
 
 
 @dataclasses.dataclass(frozen=True)
@@ -336,8 +343,12 @@ class RatMonomial:
         return s, iters
 
     def force(self, u, phi):
+        return self.force_info(u, phi)[0]
+
+    def force_info(self, u, phi):
         """dS = -sum_j rho_j x_j^+ dA x_j = -sum_j rho_j 2Re<z_j, dQhat_+ x_j>
-        with z_j = Qhat_+ x_j (A = Qhat_- Qhat_+, Qhat_-^+ = Qhat_+)."""
+        with z_j = Qhat_+ x_j (A = Qhat_- Qhat_+, Qhat_-^+ = Qhat_+).
+        Returns (F, multishift iterations) for the output.data contract."""
         from tmlqcd_tpu.hmc.monomials import _use_fast_solves
 
         rat = self.rat
@@ -386,8 +397,8 @@ class RatMonomial:
                 return s
 
             g = jax.grad(surrogate)(u)
-            return ta_force_from_grad(u, g)
-        xs = self._mms(u, phi, rat.sigma, self.force_tol)
+            return ta_force_from_grad(u, g), res.iterations
+        xs, iters = self._mms_info(u, phi, rat.sigma, self.force_tol)
         zs = jnp.stack([self._q(u, xs[j], +1.0) for j in range(rat.order)])
         xs = jax.lax.stop_gradient(xs)
         zs = jax.lax.stop_gradient(zs)
@@ -401,7 +412,7 @@ class RatMonomial:
             return s
 
         g = jax.grad(surrogate)(u)
-        return ta_force_from_grad(u, g)
+        return ta_force_from_grad(u, g), iters
 
 
 # ---------------------------------------------------------------------------

@@ -23,7 +23,8 @@ from tmlqcd_tpu import rng, su3
 from tmlqcd_tpu.hmc.integrators import IntegratorConfig, integrate
 from tmlqcd_tpu.ops.gauge_action import plaquette
 
-__all__ = ["HMCConfig", "TrajectoryStats", "hmc_trajectory", "reversibility_check"]
+__all__ = ["HMCConfig", "TrajectoryStats", "hmc_trajectory", "reversibility_check",
+           "chrono_states"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,18 +69,30 @@ def _heatbaths(cfg: HMCConfig, u, key):
 
 def _chrono_states(cfg: HMCConfig):
     """Per-monomial chronological-guess histories (None where unsupported
-    or disabled) — the csg_field warm state of the reference, rebuilt fresh
-    each trajectory (it is warm-start state only, not part of the Markov
-    chain; reference: chrono history is also reset on config changes)."""
+    or disabled) — the empty csg_field warm state of the reference.  Warm
+    state only, never part of the Markov chain; pass the returned tuple as
+    `hmc_trajectory(..., chrono=...)` to persist it across trajectories
+    (reference: chrono_guess.c csg_field lifetime)."""
     return tuple(
         m.chrono_init_state() if hasattr(m, "chrono_init_state") else None
         for m in cfg.monomials
     )
 
 
-def hmc_trajectory(cfg: HMCConfig, u: jax.Array, key: jax.Array):
+chrono_states = _chrono_states
+
+
+def hmc_trajectory(cfg: HMCConfig, u: jax.Array, key: jax.Array, chrono=None):
     """(U, key) -> (U', TrajectoryStats). Jit with cfg static:
-    ``jax.jit(hmc_trajectory, static_argnums=0)`` or close over cfg."""
+    ``jax.jit(hmc_trajectory, static_argnums=0)`` or close over cfg.
+
+    `chrono` (optional): per-monomial ChronoHistory tuple carried ACROSS
+    trajectories by the caller (reference: the csg_field history lives in
+    the monomial struct for the whole run, chrono_guess.c).  When given, the
+    return value is (U', stats, chrono') with chrono' reset to empty on
+    reject (the history's solutions belong to the rejected MD path's
+    endpoint, not the restored gauge field).  Without it, the history is
+    rebuilt fresh each trajectory and (U', stats) is returned."""
     k_mom, k_pf, k_acc = jax.random.split(key, 3)
 
     p = su3.random_momenta(k_mom, u.shape[2:], u.dtype)
@@ -88,7 +101,7 @@ def hmc_trajectory(cfg: HMCConfig, u: jax.Array, key: jax.Array):
     aux_list, s_old = _heatbaths(cfg, u, k_pf)
     h_old = su3.kinetic_energy(p) + s_old
 
-    ch0 = _chrono_states(cfg)
+    ch0 = _chrono_states(cfg) if chrono is None else chrono
     u_new, p_new, ch, force_iters = integrate(
         cfg.integrator, cfg.monomials, aux_list, u, p, chrono=ch0,
         freeze_mask=cfg.momenta_mask,
@@ -123,6 +136,12 @@ def hmc_trajectory(cfg: HMCConfig, u: jax.Array, key: jax.Array):
         acc_iterations=jnp.stack(iters),
         force_iterations=force_iters,
     )
+    if chrono is not None:
+        fresh = _chrono_states(cfg)
+        ch_out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), ch, fresh
+        )
+        return u_out, stats, ch_out
     return u_out, stats
 
 
