@@ -41,12 +41,12 @@ import jax.numpy as jnp
 LITERATURE = {5.7: 0.54919, 6.0: 0.59368}
 
 
-def run_point(lat, beta, chains, therm, n, seed):
+def run_point(lat, beta, chains, therm, n, seed, c1=0.0):
     from tmlqcd_tpu import su3
     from tmlqcd_tpu.models.suites import pure_gauge
     from tmlqcd_tpu.parallel import chain_init, parallel_chains
 
-    cfg = pure_gauge(lat, beta=beta, steps=10)
+    cfg = pure_gauge(lat, beta=beta, c1=c1, steps=10)
     step = jax.jit(functools.partial(parallel_chains, cfg))
 
     key = jax.random.key(seed)
@@ -88,6 +88,8 @@ def main(argv=None):
     ap.add_argument("--therm", type=int, default=150)
     ap.add_argument("--n", type=int, default=400)
     ap.add_argument("--beta", type=float, nargs="+", default=[6.0, 5.7])
+    ap.add_argument("--no-tlsym", action="store_true",
+                    help="skip the tlSym strong-coupling known-answer point")
     args = ap.parse_args(argv)
 
     from tmlqcd_tpu.lattice import Lattice
@@ -125,6 +127,40 @@ def main(argv=None):
         )
         print(f"# beta={beta}: <P>={mean:.6f} +- {err:.6f}"
               + (f"  lit={lit}  ({sigma:.1f} sigma)" if sigma is not None else ""),
+              file=sys.stderr)
+
+    # tlSym (Luescher-Weisz tree-level, c1 = -1/12) strong-coupling point:
+    # leading character expansion <P> = beta*c0/18 with c0 = 1 - 8*c1 — a
+    # DERIVED known answer (not literature) pinning the rectangle term's
+    # c0/c1 normalization through the full HMC stack; tolerance 20%% covers
+    # the O((beta c0)^2) corrections (same slack as the in-suite Wilson
+    # strong-coupling test at this coupling).
+    if not args.no_tlsym:
+        c1 = -1.0 / 12.0
+        c0 = 1.0 - 8.0 * c1
+        beta_sc = 1.0
+        mean, err, dt = run_point(
+            lat, beta_sc, args.chains, therm, n, seed=29, c1=c1
+        )
+        expect = beta_sc * c0 / 18.0
+        rel = abs(mean - expect) / expect
+        tl_ok = rel < 0.20
+        if not tl_ok:
+            worst_sigma = max(worst_sigma, 10.0)  # fail the gate
+        points.append(
+            {
+                "action": "tlsym",
+                "beta": beta_sc,
+                "c1": c1,
+                "plaquette": round(mean, 6),
+                "err": round(err, 6),
+                "strong_coupling_leading": round(expect, 6),
+                "rel_dev": round(rel, 3),
+                "seconds": round(dt, 1),
+            }
+        )
+        print(f"# tlSym beta={beta_sc}: <P>={mean:.6f} +- {err:.6f}"
+              f"  leading-SC={expect:.6f}  (rel dev {rel:.1%})",
               file=sys.stderr)
 
     print(

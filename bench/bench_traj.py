@@ -31,6 +31,10 @@ def main(argv=None):
     ap.add_argument("--therm", type=int, default=10)
     ap.add_argument("--solver", default="auto",
                     help="per-monomial Solver override (auto|cg|mixedcg|rgmixedcg)")
+    ap.add_argument("--profile", action="store_true",
+                    help="per-phase breakdown: heatbath / force solves per "
+                    "monomial / drifts / acceptance (reference: the per-phase "
+                    "gettime discipline of survey §5.1)")
     args = ap.parse_args(argv)
 
     from tmlqcd_tpu import su3
@@ -54,7 +58,10 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, monomials=tuple(
             dataclasses.replace(m, solver=args.solver) if hasattr(m, "solver") else m
             for m in cfg.monomials))
+    from tmlqcd_tpu.hmc import chrono_states
+
     step = jax.jit(functools.partial(hmc_trajectory, cfg))
+    step_ch = jax.jit(functools.partial(hmc_trajectory, cfg))
     u = su3.random_su3(jax.random.key(0), (4,) + lat.site_shape, jnp.complex64)
 
     # thermalize with the QUENCHED action first (a hot start is
@@ -68,7 +75,7 @@ def main(argv=None):
     u, st = step(u, jax.random.key(1))
     float(st.delta_h)
 
-    times, accepts, dhs = [], [], []
+    times, accepts, dhs, fits = [], [], [], []
     for i in range(args.n):
         t0 = time.perf_counter()
         u, st = step(u, jax.random.key(100 + i))
@@ -76,22 +83,110 @@ def main(argv=None):
         times.append(time.perf_counter() - t0)
         dhs.append(dh)
         accepts.append(int(st.accepted))
+        fits.append([int(x) for x in st.force_iterations])
     best = min(times)
-    print(
-        json.dumps(
-            {
-                "metric": "hmc_trajectory_seconds",
-                "value": round(best, 3),
-                "trajectories_per_hour": round(3600.0 / best, 1),
-                "lattice": list(dims),
-                "acceptance": sum(accepts) / len(accepts),
-                "mean_abs_dh": round(sum(abs(d) for d in dhs) / len(dhs), 4),
-                "device": jax.devices()[0].device_kind,
-                "solver": args.solver,
-            }
-        )
-    )
+
+    # cross-trajectory chrono (reference: csg_field persisting for the whole
+    # run): same trajectories with the driver-held history threaded through
+    u_ch = u
+    ch = chrono_states(cfg)
+    times_ch, fits_ch = [], []
+    u_ch, _, ch = step_ch(u_ch, jax.random.key(99), ch)  # compile + warm
+    for i in range(args.n):
+        t0 = time.perf_counter()
+        u_ch, st, ch = step_ch(u_ch, jax.random.key(100 + i), ch)
+        float(st.delta_h)
+        times_ch.append(time.perf_counter() - t0)
+        fits_ch.append([int(x) for x in st.force_iterations])
+    best_ch = min(times_ch)
+    out = {
+        "metric": "hmc_trajectory_seconds",
+        "value": round(best, 3),
+        "trajectories_per_hour": round(3600.0 / best, 1),
+        "lattice": list(dims),
+        "acceptance": sum(accepts) / len(accepts),
+        "mean_abs_dh": round(sum(abs(d) for d in dhs) / len(dhs), 4),
+        "device": jax.devices()[0].device_kind,
+        "solver": args.solver,
+        "chrono_cross_traj": {
+            "trajectory_seconds": round(best_ch, 3),
+            "speedup_vs_per_traj_chrono": round(best / best_ch, 3),
+            "mean_force_iters": [round(sum(c) / len(c), 1) for c in zip(*fits)],
+            "mean_force_iters_persistent": [
+                round(sum(c) / len(c), 1) for c in zip(*fits_ch)
+            ],
+        },
+    }
+    if args.profile:
+        out["profile"] = _profile_phases(cfg, u, best)
+    print(json.dumps(out))
     return 0
+
+
+def _profile_phases(cfg, u, traj_best: float) -> dict:
+    """Per-phase wall-clock attribution of one trajectory (reference: the
+    gettime() brackets around heatbath / derivative / update_gauge /
+    accfunction in update_tm.c, survey §5.1).
+
+    Each phase runs as its own jitted program (timed after a warmup call);
+    force and drift costs are scaled by their per-trajectory counts from the
+    integrator's flat schedule.  The sum can differ from the measured
+    trajectory time: the whole-trajectory program lets XLA overlap/fuse
+    across phase boundaries, and chrono-warmed MD solves converge faster
+    than the cold solves timed here — both effects show up as 'unattributed'.
+    """
+    from tmlqcd_tpu import rng, su3
+    from tmlqcd_tpu.hmc.integrators import _expand_schedule
+    from tmlqcd_tpu.hmc.trajectory import _heatbaths
+
+    key = jax.random.key(4242)
+
+    def timed(fn, *a):
+        fn_j = jax.jit(fn)
+        jax.block_until_ready(fn_j(*a))  # compile + warm
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn_j(*a))
+        return time.perf_counter() - t0
+
+    prof = {}
+    prof["momenta_+_heatbaths_s"] = timed(
+        lambda u, k: (su3.random_momenta(k, u.shape[2:], u.dtype),
+                      _heatbaths(cfg, u, k)[1]), u, key,
+    )
+
+    aux_list, _ = jax.jit(lambda u, k: _heatbaths(cfg, u, k))(u, key)
+    kick_rows, drift_dts = _expand_schedule(
+        cfg.integrator, tuple(m.timescale for m in cfg.monomials)
+    )
+    n_drifts = int((drift_dts != 0.0).sum())
+
+    p = jax.jit(lambda k: su3.random_momenta(k, u.shape[2:], u.dtype))(key)
+    prof["drift_s_x" + str(n_drifts)] = n_drifts * timed(
+        lambda u, p: su3.project_su3(su3.mul(su3.expm_ta(0.01 * p), u)), u, p
+    )
+
+    for i, m in enumerate(cfg.monomials):
+        n_kicks = int((kick_rows[:, i] != 0.0).sum())
+        if hasattr(m, "force_info"):
+            f = lambda u, a=aux_list[i], m=m: m.force_info(u, a)[0]
+        else:
+            f = lambda u, a=aux_list[i], m=m: m.force(u, a)
+        prof[f"force_{m.name}_s_x{n_kicks}"] = n_kicks * timed(f, u)
+
+    acc = 0.0
+    for i, m in enumerate(cfg.monomials):
+        if hasattr(m, "action_info"):
+            acc += timed(lambda u, a=aux_list[i], m=m: m.action_info(u, a)[0], u)
+        else:
+            acc += timed(lambda u, a=aux_list[i], m=m: m.action(u, a), u)
+    prof["acceptance_actions_s"] = acc
+
+    total = sum(prof.values())
+    prof = {k: round(v, 4) for k, v in prof.items()}
+    prof["sum_of_phases_s"] = round(total, 4)
+    prof["measured_trajectory_s"] = round(traj_best, 4)
+    prof["unattributed_s"] = round(traj_best - total, 4)
+    return prof
 
 
 if __name__ == "__main__":

@@ -51,10 +51,20 @@ def main(argv=None):
     ap.add_argument("-f", "--input", required=True, help="tmLQCD-style input file")
     ap.add_argument("-o", "--output-dir", default=None, help="run directory")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: jax.distributed.initialize() from the "
+                    "TPU pod environment (reference: tmlqcd_mpi_init; also "
+                    "TMLQCD_TPU_DISTRIBUTED=1)")
     args = ap.parse_args(argv)
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed or os.environ.get("TMLQCD_TPU_DISTRIBUTED") == "1":
+        # one process per host, coordinator/process ids from the pod
+        # runtime environment; all jax.devices() below become global
+        jax.distributed.initialize()
+        print(f"[hmc] distributed: process {jax.process_index()} of "
+              f"{jax.process_count()}")
 
     from tmlqcd_tpu import su3
     from tmlqcd_tpu.config import build_hmc
@@ -75,6 +85,32 @@ def main(argv=None):
     hmc = build_hmc(cfg)
     lat = cfg.lat
 
+    # domain decomposition (reference: tmlqcd_mpi_init building the
+    # Cartesian grid from NrTProcs/NrYProcs before anything touches fields).
+    # Explicit hints win; otherwise auto-mesh over all visible devices.
+    # The active mesh routes every fast solve through the sharded Pallas
+    # kernel (ppermute halos + interior/surface overlap).
+    from tmlqcd_tpu import parallel
+
+    mesh = parallel.mesh_from_procs(cfg.nr_procs, lat)
+    if mesh is None:
+        mesh = parallel.auto_mesh(lat)
+    if mesh is not None:
+        parallel.set_active_mesh(mesh)
+        print(f"[hmc] device mesh {dict(mesh.shape)} over "
+              f"{mesh.devices.size} devices (t x y slabs: "
+              f"{lat.dims[0]//mesh.shape['t']} x {lat.dims[2]//mesh.shape['m']})")
+
+    def _place(arr):
+        """Device placement: shard over the mesh (each device gets only its
+        slab; multi-host-safe callback staging for host arrays) or plain
+        device put."""
+        if mesh is None:
+            return jnp.asarray(arr)
+        if isinstance(arr, jax.Array):
+            return jax.device_put(arr, parallel.gauge_spec(mesh))
+        return parallel.place_from_host(arr, parallel.gauge_spec(mesh))
+
     key = jax.random.key(cfg.seed)
     start_traj = 0
     if cfg.start_condition == "continue":
@@ -86,22 +122,28 @@ def main(argv=None):
             info = latest_checkpoint(run_dir)
         if info is None:
             print(f"[hmc] no checkpoint in {run_dir}, falling back to hot start")
-            u = jax.jit(lambda k: su3.random_su3(k, (4,) + lat.site_shape))(
+            u = _place(jax.jit(lambda k: su3.random_su3(k, (4,) + lat.site_shape))(
                 jax.random.fold_in(key, 0)
-            )
+            ))
+        elif mesh is not None:
+            # sharded read: every process reads the file, each device
+            # uploads ONLY its slab (reference: the per-rank scatter of
+            # lemon MPI-IO gauge reads)
+            u, start_traj, _ = parallel.load_gauge_sharded(info.path, mesh, lat)
+            print(f"[hmc] resumed (sharded) at trajectory {start_traj} from {info.path}")
         else:
             arr, start_traj, _ = load_checkpoint(info.path, lat)
-            u = jnp.asarray(arr)
+            u = _place(arr)
             print(f"[hmc] resumed at trajectory {start_traj} from {info.path}")
     elif cfg.start_condition == "cold":
-        u = jnp.broadcast_to(
+        u = _place(jnp.broadcast_to(
             jnp.eye(3, dtype=jnp.complex64).reshape(3, 3, 1, 1, 1, 1),
             (3, 3, 4) + lat.site_shape,
-        )
+        ))
     else:  # hot (jitted: eager op chains are fragile on the remote-TPU path)
-        u = jax.jit(lambda k: su3.random_su3(k, (4,) + lat.site_shape))(
+        u = _place(jax.jit(lambda k: su3.random_su3(k, (4,) + lat.site_shape))(
             jax.random.fold_in(key, 0)
-        )
+        ))
 
     # spectral-interval validation of rational/polynomial monomials against
     # the starting configuration (reference: ndrat/phmc init eigenvalue

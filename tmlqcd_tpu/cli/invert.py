@@ -40,10 +40,17 @@ def main(argv=None):
                     help="propagator output: SciDAC LIME records or npz")
     ap.add_argument("-o", "--output-dir", default=".")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: jax.distributed.initialize() "
+                    "(also TMLQCD_TPU_DISTRIBUTED=1)")
     args = ap.parse_args(argv)
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed or os.environ.get("TMLQCD_TPU_DISTRIBUTED") == "1":
+        jax.distributed.initialize()
+        print(f"[invert] distributed: process {jax.process_index()} of "
+              f"{jax.process_count()}")
 
     from tmlqcd_tpu.config_tmlqcd import read_input
     from tmlqcd_tpu.inverter import invert_clover_eo, invert_eo
@@ -88,8 +95,25 @@ def main(argv=None):
         params = DiracParams(kappa=op.kappa, mu=mu, c_sw=op.csw, theta=tuple(op.theta))
         is_clover = op.type.upper() in ("CLOVER",)
         is_overlap = op.type.upper() == "OVERLAP"
+        is_doublet = op.type.upper() in ("DBTMWILSON", "DBCLOVER")
         inv = invert_clover_eo if is_clover else invert_eo
         tol = float(op.precision) ** 0.5
+
+        if is_doublet:
+            # non-degenerate strange/charm doublet (reference:
+            # invert_doublet_eo.c, operator types DBTMWILSON / DBCLOVER with
+            # 2Kappamubar/2Kappaepsbar); each spin-color source goes into
+            # the upper flavor slot and the solve returns the flavor PAIR
+            from tmlqcd_tpu.ops.ndoublet import NDParams
+
+            two_k = 2.0 * op.kappa if op.kappa else 1.0
+            nd_params = NDParams(
+                kappa=op.kappa,
+                mubar=op.two_kappa_mubar / two_k,
+                epsbar=op.two_kappa_epsbar / two_k,
+                c_sw=op.csw if op.type.upper() == "DBCLOVER" else 0.0,
+                theta=tuple(op.theta),
+            )
 
         if is_overlap:
             # overlap: build the sign-function setup (Lanczos low modes +
@@ -157,6 +181,47 @@ def main(argv=None):
             sources = [(s, c, smear(src)) for s, c, src in sources]
 
         from tmlqcd_tpu.utils import to_host
+
+        if is_doublet:
+            from tmlqcd_tpu.inverter import invert_doublet_eo
+
+            sol2 = np.zeros((len(sources), 2, 4, 3) + lat.site_shape, np.complex64)
+            solve_db = jax.jit(lambda b: invert_doublet_eo(
+                u, b, nd_params, lat, tol=tol, maxiter=op.max_solver_iterations))
+            for i, (s, c, src) in enumerate(sources):
+                t0 = time.perf_counter()
+                b2 = jnp.stack([src, jnp.zeros_like(src)])
+                res = solve_db(b2)
+                jax.block_until_ready(res.x)
+                sol2[i] = to_host(res.x)
+                print(
+                    f"[invert] op {iop} ({op.type}) source (s={s},c={c}): "
+                    f"{int(res.iterations)} iters, |r|^2={float(res.residual_sq):.3e}, "
+                    f"{time.perf_counter() - t0:.1f}s"
+                )
+            if args.format == "lime":
+                from tmlqcd_tpu.io.propagator import write_propagator
+
+                # one file per flavor (reference: invert_doublet writes the
+                # strange/charm propagator pair)
+                for fl in range(2):
+                    out = os.path.join(
+                        args.output_dir,
+                        f"propagator.{iop:02d}.fl{fl}.{traj:06d}.lime",
+                    )
+                    write_propagator(out, [sol2[i, fl] for i in range(len(sources))],
+                                     lat, precision=op.propagator_precision)
+                    print(f"[invert] wrote {out}")
+            else:
+                out = os.path.join(args.output_dir, f"propagator.{iop:02d}.{traj:06d}.npz")
+                np.savez_compressed(
+                    out, propagator_doublet=sol2,
+                    spin_color=[(s, c) for s, c, _ in sources],
+                    kappa=op.kappa, mubar=nd_params.mubar, epsbar=nd_params.epsbar,
+                    csw=nd_params.c_sw, dims=np.asarray(lat.dims), trajectory=traj,
+                )
+                print(f"[invert] wrote {out}")
+            continue
 
         sol = np.zeros((len(sources), 4, 3) + lat.site_shape, np.complex64)
         if op.solver == "increigcg" and not is_overlap and not is_clover:

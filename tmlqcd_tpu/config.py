@@ -124,10 +124,14 @@ class MeasurementSpec:
 class OperatorSpec:
     """One BeginOperator block (for invert; reference: operator.c types)."""
 
-    type: str  # TMWILSON | WILSON | CLOVER | DBTMWILSON | OVERLAP
+    type: str  # TMWILSON | WILSON | CLOVER | DBTMWILSON | DBCLOVER | OVERLAP
     kappa: float = 0.0
     two_kappa_mu: float = 0.0
     csw: float = 0.0
+    # non-degenerate doublet operators (DBTMWILSON/DBCLOVER; reference:
+    # operator.c mubar/epsbar from 2Kappamubar/2Kappaepsbar)
+    two_kappa_mubar: float = 0.0
+    two_kappa_epsbar: float = 0.0
     solver: str = "cg"  # cg | mixedcg | fastcg | fastmixed | dflfgmres;
     # OVERLAP: sumr | cgne
     precision: float = 1e-18

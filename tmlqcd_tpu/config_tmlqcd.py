@@ -239,6 +239,8 @@ def _operator(name: str, blk: dict, theta=(1.0, 0.0, 0.0, 0.0)) -> OperatorSpec:
         kappa=f("kappa"),
         two_kappa_mu=f("2kappamu"),
         csw=f("csw"),
+        two_kappa_mubar=f("2kappamubar"),
+        two_kappa_epsbar=f("2kappaepsbar"),
         solver=blk.get(
             "solver", "sumr" if name.upper() == "OVERLAP" else "cg"
         ).lower(),

@@ -136,6 +136,30 @@ def _use_fast_solves() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _mesh_ctx():
+    """(mesh, t_axis, m_axis) of the active domain decomposition, or None.
+
+    When set (parallel.set_active_mesh / use_mesh — the driver installs it
+    from NrTProcs/NrYProcs), every fast solve routes through the SHARDED
+    Pallas kernel (hopping_pallas_shard: ppermute halfspinor halos +
+    interior/surface overlap) — the reference's TM_USE_MPI build where every
+    Hopping_Matrix crosses the process boundary (survey §2.3/§3.3).  Force
+    SURROGATES fall back to the jnp differentiable path under a mesh: the
+    unsharded kernel VJP would be GSPMD-replicated, while the jnp rolls
+    partition cleanly — and the surrogate is 1 operator application + VJP
+    per kick vs O(10-100) inside the solve, so the sharded-kernel win stays
+    where the time is."""
+    from tmlqcd_tpu import parallel
+
+    return parallel.active_mesh()
+
+
+def _fast_unsharded() -> bool:
+    """Kernel fast path with NO active mesh (the single-chip fused/VJP
+    specializations)."""
+    return _use_fast_solves() and _mesh_ctx() is None
+
+
 class SolveOut(NamedTuple):
     """One solve through the dispatch seam: solution (complex), iteration
     count, and the updated chrono history (None when chrono is off)."""
@@ -193,12 +217,21 @@ def _solve_qpm(u, b, params, lat, tol, maxiter, solver="auto", hist=None):
     if _use_fast_solves():
         from tmlqcd_tpu.ops import wilson_fast as wf
 
+        am = _mesh_ctx()
         fg = wf.make_fast_gauge(u, params, lat)
-        mv = lambda x2: wf.q_hat_pm_fast(fg, x2, params, lat)
+        if am is not None:
+            mesh, t_ax, m_ax = am
+            mv = lambda x2: wf.q_hat_pm_fast_shard(fg, x2, params, lat, mesh, t_ax, m_ax)
+        else:
+            mv = lambda x2: wf.q_hat_pm_fast(fg, x2, params, lat)
         mv_lo = None
         if name in ("mixedcg", "rgmixedcg"):
             fg16 = wf.make_fast_gauge(u, params, lat, sloppy=True)
-            mv_lo = lambda x2: wf.q_hat_pm_fast(fg16, x2, params, lat)
+            if am is not None:
+                mesh, t_ax, m_ax = am
+                mv_lo = lambda x2: wf.q_hat_pm_fast_shard(fg16, x2, params, lat, mesh, t_ax, m_ax)
+            else:
+                mv_lo = lambda x2: wf.q_hat_pm_fast(fg16, x2, params, lat)
         b2 = wf.to_split(b)
         x0 = chrono_guess(hist, mv, b2) if hist is not None else None
         x2, iters = _seam_solve(mv, b2, name, tol, maxiter, mv_lo, jnp.float32, x0)
@@ -274,7 +307,7 @@ class DetMonomial:
         guessing threaded through the MD (reference: det_monomial.c
         derivativefunction calling chrono_guess + solve + deriv_Sb)."""
         res = self._solve(u, phi, self.force_tol, hist)
-        if _use_fast_solves():
+        if _fast_unsharded():
             # surrogate gradient on the Pallas kernels: the hopping's
             # custom VJP (deriv_Sb analog) carries the backward pass; only
             # gauge_copy's chain rule stays on jnp
@@ -363,7 +396,7 @@ class DetRatioMonomial:
         return self.force_chrono(u, phi, None)[0]
 
     def force_chrono(self, u, phi, hist):
-        if _use_fast_solves():
+        if _fast_unsharded():
             from tmlqcd_tpu.ops import wilson_fast as wf
 
             fg = wf.make_fast_gauge(u, self.params1, self.lat)
@@ -443,12 +476,21 @@ def _solve_qsw(u, b, params, lat, tol, maxiter, solver="auto", hist=None):
     if _use_fast_solves():
         from tmlqcd_tpu.ops import wilson_fast as wf
 
+        am = _mesh_ctx()
         fc = wf.make_fast_clover(u, params, lat)
-        mv = lambda x2: wf.q_hat_pm_clover_fast(fc, x2, params, lat)
+        if am is not None:
+            mesh, t_ax, m_ax = am
+            mv = lambda x2: wf.q_hat_pm_clover_fast_shard(fc, x2, params, lat, mesh, t_ax, m_ax)
+        else:
+            mv = lambda x2: wf.q_hat_pm_clover_fast(fc, x2, params, lat)
         mv_lo = None
         if name in ("mixedcg", "rgmixedcg"):
             fc16 = wf.make_fast_clover(u, params, lat, sloppy=True)
-            mv_lo = lambda x2: wf.q_hat_pm_clover_fast(fc16, x2, params, lat)
+            if am is not None:
+                mesh, t_ax, m_ax = am
+                mv_lo = lambda x2: wf.q_hat_pm_clover_fast_shard(fc16, x2, params, lat, mesh, t_ax, m_ax)
+            else:
+                mv_lo = lambda x2: wf.q_hat_pm_clover_fast(fc16, x2, params, lat)
         b2 = wf.to_split(b)
         x0 = chrono_guess(hist, mv, b2) if hist is not None else None
         x2, iters = _seam_solve(mv, b2, name, tol, maxiter, mv_lo, jnp.float32, x0)
@@ -504,7 +546,7 @@ class CloverDetMonomial:
         res = _solve_qsw(
             u, phi, self.params, self.lat, self.force_tol, self.maxiter, self.solver, hist
         )
-        if _use_fast_solves():
+        if _fast_unsharded():
             # the hopping part of the surrogate gradient on the Pallas
             # kernels; the clover-term force (sw_deriv analog) flows
             # through jnp AD of the block construction

@@ -98,9 +98,12 @@ class NDPolyMonomial:
         return self._poly_on(lambda c: self._q2(u, c), chi)
 
     def _use_fast(self) -> bool:
-        from tmlqcd_tpu.hmc.monomials import _use_fast_solves
+        # PHMC applies the polynomial with the UNSHARDED kernel (no solve to
+        # amortize a sharded halo path); under an active mesh fall back to
+        # the jnp operator, which GSPMD partitions cleanly
+        from tmlqcd_tpu.hmc.monomials import _fast_unsharded
 
-        return _use_fast_solves()
+        return _fast_unsharded()
 
     def heatbath(self, u, key):
         eta = rng.normal_spinor(key, (2, 4, 3) + self.lat.eo_site_shape, u.dtype)

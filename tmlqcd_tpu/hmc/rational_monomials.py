@@ -87,23 +87,38 @@ class NDRatMonomial:
         return nd.q_nd(ueo, chi, self.params, self.lat, ph)
 
     def _mms_info(self, u, b, shifts: np.ndarray, tol: float):
-        from tmlqcd_tpu.hmc.monomials import _use_fast_solves
+        from tmlqcd_tpu.hmc.monomials import _mesh_ctx, _use_fast_solves
 
         if _use_fast_solves():
             # the multishift CG (the dominant cost of every heatbath/
             # acceptance/force) on the Pallas split path; solutions are
             # stopped gradients, so no kernel VJP is needed.  Clover-ND
             # runs on materialized flavor-2x2 block inverses (sw_invert_nd
-            # analog, built once per gauge).
+            # analog, built once per gauge).  With an active mesh the
+            # operator is the domain-decomposed sharded kernel (reference:
+            # cg_mms_tm_nd under MPI decomposition).
             from tmlqcd_tpu.ops import dslash_pallas as dpl
             from tmlqcd_tpu.ops import wilson_fast as wf
 
+            am = _mesh_ctx()
             if self.params.c_sw != 0.0:
                 fc = wf.make_fast_clover_nd(u, self.params, self.lat)
-                mv = lambda c2: wf.q_nd_sq_clover_fast(fc, c2, self.params, self.lat)
+                if am is not None:
+                    mesh, t_ax, m_ax = am
+                    mv = lambda c2: wf.q_nd_sq_clover_fast_shard(
+                        fc, c2, self.params, self.lat, mesh, t_ax, m_ax
+                    )
+                else:
+                    mv = lambda c2: wf.q_nd_sq_clover_fast(fc, c2, self.params, self.lat)
             else:
                 fg = wf.make_fast_gauge(u, self.params.wilson, self.lat)
-                mv = lambda c2: wf.q_nd_sq_fast(fg, c2, self.params, self.lat)
+                if am is not None:
+                    mesh, t_ax, m_ax = am
+                    mv = lambda c2: wf.q_nd_sq_fast_shard(
+                        fg, c2, self.params, self.lat, mesh, t_ax, m_ax
+                    )
+                else:
+                    mv = lambda c2: wf.q_nd_sq_fast(fg, c2, self.params, self.lat)
             res = cg_multishift(
                 mv, wf.to_split(b), jnp.asarray(shifts), tol=tol, maxiter=self.maxiter
             )
@@ -159,10 +174,10 @@ class NDRatMonomial:
         count of the reference's output.data contract (survey §5.5: the
         reference prints every monomial's solver iterations per trajectory;
         ndrat_monomial.c's derivative reports its cg_mms_tm_nd count)."""
-        from tmlqcd_tpu.hmc.monomials import _use_fast_solves
+        from tmlqcd_tpu.hmc.monomials import _fast_unsharded
 
         rat = self.rat
-        if _use_fast_solves():
+        if _fast_unsharded():
             # multishift solve AND the per-pole surrogate gradients on the
             # Pallas kernels (hopping custom VJP); xs/ys stay split-f32.
             # With clover the gauge-copy part of the gradient rides the
@@ -277,18 +292,31 @@ class RatMonomial:
         return _qhat_plus_full(u, x, self.params, self.lat, sign)
 
     def _mms_info(self, u, b, shifts: np.ndarray, tol: float):
-        from tmlqcd_tpu.hmc.monomials import _clover_ops, _use_fast_solves
+        from tmlqcd_tpu.hmc.monomials import _clover_ops, _mesh_ctx, _use_fast_solves
 
         if _use_fast_solves():
             from tmlqcd_tpu.ops import dslash_pallas as dpl
             from tmlqcd_tpu.ops import wilson_fast as wf
 
+            am = _mesh_ctx()
             if self.params.c_sw != 0.0:
                 fc = wf.make_fast_clover(u, self.params, self.lat)
-                mv = lambda x2: wf.q_hat_pm_clover_fast(fc, x2, self.params, self.lat)
+                if am is not None:
+                    mesh, t_ax, m_ax = am
+                    mv = lambda x2: wf.q_hat_pm_clover_fast_shard(
+                        fc, x2, self.params, self.lat, mesh, t_ax, m_ax
+                    )
+                else:
+                    mv = lambda x2: wf.q_hat_pm_clover_fast(fc, x2, self.params, self.lat)
             else:
                 fg = wf.make_fast_gauge(u, self.params, self.lat)
-                mv = lambda x2: wf.q_hat_pm_fast(fg, x2, self.params, self.lat)
+                if am is not None:
+                    mesh, t_ax, m_ax = am
+                    mv = lambda x2: wf.q_hat_pm_fast_shard(
+                        fg, x2, self.params, self.lat, mesh, t_ax, m_ax
+                    )
+                else:
+                    mv = lambda x2: wf.q_hat_pm_fast(fg, x2, self.params, self.lat)
             res = cg_multishift(
                 mv, wf.to_split(b), jnp.asarray(shifts), tol=tol, maxiter=self.maxiter
             )
@@ -349,10 +377,10 @@ class RatMonomial:
         """dS = -sum_j rho_j x_j^+ dA x_j = -sum_j rho_j 2Re<z_j, dQhat_+ x_j>
         with z_j = Qhat_+ x_j (A = Qhat_- Qhat_+, Qhat_-^+ = Qhat_+).
         Returns (F, multishift iterations) for the output.data contract."""
-        from tmlqcd_tpu.hmc.monomials import _use_fast_solves
+        from tmlqcd_tpu.hmc.monomials import _fast_unsharded
 
         rat = self.rat
-        if _use_fast_solves():
+        if _fast_unsharded():
             # Multishift solve and per-pole surrogate gradients on the Pallas
             # kernels; with clover (CLOVERRAT) the gauge-copy gradient rides
             # the kernel VJP and the clover-block part (sw_deriv analog)

@@ -125,13 +125,26 @@ def invert_eo(
         # the inner CG with the bf16 sloppy gauge copy (~1.2x faster
         # dslash) inside an f32 defect-correction outer loop
         # (reference: mixed_cg_her.c with _32 copies).
+        from tmlqcd_tpu import parallel
         from tmlqcd_tpu.ops import wilson_fast as wf
 
+        am = parallel.active_mesh()
         fg = wf.make_fast_gauge(u, params, lat)
-        mv = lambda x2: wf.q_hat_pm_fast(fg, x2, params, lat)
+        if am is not None:
+            # domain-decomposed production path: every CG matvec runs the
+            # sharded kernel with ppermute halos (reference: invert under
+            # MPI decomposition, survey §3.3)
+            mesh, t_ax, m_ax = am
+            mv = lambda x2: wf.q_hat_pm_fast_shard(fg, x2, params, lat, mesh, t_ax, m_ax)
+        else:
+            mv = lambda x2: wf.q_hat_pm_fast(fg, x2, params, lat)
         if solver == "fastmixed":
             fg16 = wf.make_fast_gauge(u, params, lat, sloppy=True)
-            mv16 = lambda x2: wf.q_hat_pm_fast(fg16, x2, params, lat)
+            if am is not None:
+                mesh, t_ax, m_ax = am
+                mv16 = lambda x2: wf.q_hat_pm_fast_shard(fg16, x2, params, lat, mesh, t_ax, m_ax)
+            else:
+                mv16 = lambda x2: wf.q_hat_pm_fast(fg16, x2, params, lat)
             res = mixed_cg(mv, wf.to_split(rhs), matvec_lo=mv16,
                            lo_dtype=jnp.float32, tol=tol, max_inner=maxiter)
             x_o = wf.from_split(res.x, b.dtype)
@@ -288,10 +301,16 @@ def invert_clover_eo(
     rhs = cl.q_hat_clover(ueo, sw_e, sw_o, apply_gamma5(bhat), params, lat, ph, -1.0)
 
     if solver == "fastcg":
+        from tmlqcd_tpu import parallel
         from tmlqcd_tpu.ops import wilson_fast as wf
 
+        am = parallel.active_mesh()
         fc = wf.make_fast_clover(u, params, lat)
-        mv = lambda x2: wf.q_hat_pm_clover_fast(fc, x2, params, lat)
+        if am is not None:
+            mesh, t_ax, m_ax = am
+            mv = lambda x2: wf.q_hat_pm_clover_fast_shard(fc, x2, params, lat, mesh, t_ax, m_ax)
+        else:
+            mv = lambda x2: wf.q_hat_pm_clover_fast(fc, x2, params, lat)
         res = cg(mv, wf.to_split(rhs), tol=tol, maxiter=maxiter)
         x_o, iters, rsq = wf.from_split(res.x, b.dtype), res.iterations, res.residual_sq
     elif solver == "mixedcg":
@@ -320,7 +339,8 @@ def invert_doublet_eo(
 ) -> InvertResult:
     """Solve the non-degenerate doublet system M_nd x = b for a flavor
     doublet source b [2, 4, 3, T, X, Y*Z] (reference: invert_doublet_eo.c,
-    the DBTMWILSON operator path).
+    the DBTMWILSON operator path; params.c_sw != 0 selects the clover
+    doublet — DBCLOVER, invert_clover_doublet_eo.c's role).
 
     Odd solve via the hermitian Q_nd = gamma5 tau1 Mhat_nd:
     Mhat x = bhat <=> Q_nd^2 x = Q_nd (g5 tau1 bhat)  (CG).
@@ -331,6 +351,7 @@ def invert_doublet_eo(
     ueo = pack_gauge_eo(u, lat)
     ph = w.boundary_phases(params.wilson, lat)
     kappa = jnp.asarray(params.kappa, b.real.dtype)
+    clov = params.c_sw != 0.0
 
     be0, bo0 = eo_pack(b[0], lat)
     be1, bo1 = eo_pack(b[1], lat)
@@ -345,20 +366,28 @@ def invert_doublet_eo(
             ]
         )
 
-    t = nd.mee_inv_nd(b_e, params.mubar_t, params.epsbar_t, +1.0)
-    bhat = b_o + kappa * hop(t, ODD)
+    if clov:
+        from tmlqcd_tpu.ops import clover as cl
+
+        sw_e, sw_o = cl.sw_blocks_eo(u, params.kappa, params.c_sw, lat)
+        mee_inv = lambda chi: cl.mee_inv_nd_clover(
+            sw_e, chi, params.mubar_t, params.epsbar_t, +1.0
+        )
+        qnd = lambda x: cl.q_nd_clover(ueo, sw_e, sw_o, x, params, lat, ph)
+    else:
+        mee_inv = lambda chi: nd.mee_inv_nd(chi, params.mubar_t, params.epsbar_t, +1.0)
+        qnd = lambda x: nd.q_nd(ueo, x, params, lat, ph)
+
+    bhat = b_o + kappa * hop(mee_inv(b_e), ODD)
 
     def g5tau1(chi):
         return jnp.stack([g5(chi[1]), g5(chi[0])])
 
-    qnd = lambda x: nd.q_nd(ueo, x, params, lat, ph)
     rhs = qnd(g5tau1(bhat))
     res = cg(lambda x: qnd(qnd(x)), rhs, tol=tol, maxiter=maxiter)
     x_o = res.x
 
-    x_e = nd.mee_inv_nd(
-        b_e + kappa * hop(x_o, EVEN), params.mubar_t, params.epsbar_t, +1.0
-    )
+    x_e = mee_inv(b_e + kappa * hop(x_o, EVEN))
     full = jnp.stack(
         [eo_unpack(x_e[0], x_o[0], lat), eo_unpack(x_e[1], x_o[1], lat)]
     )

@@ -222,6 +222,104 @@ def q_hat_pm_fast_shard(
     return m_hat_fast_shard(fg, tmp, params, lat, mesh, sign=-1.0, g5=True, **kw)
 
 
+def _m_hat_clover_fast_shard(
+    fc: "FastClover", psi2_o: jax.Array, params: DiracParams, lat: Lattice,
+    mesh, t_axis: str = "t", m_axis: str | None = None,
+    sign: float = +1.0, g5: bool = False,
+    halfspinor: bool = True, overlap: bool = True,
+) -> jax.Array:
+    """Clover Schur complement with both hops on the domain-decomposed
+    Pallas kernel (reference: Qsw under MPI decomposition).  The clover
+    block applications are strictly site-local, so they run as GSPMD
+    elementwise block-matvecs on the sharded arrays (no resharding) rather
+    than as kernel epilogues — the two extra spinor HBM passes the
+    single-chip fused path saves are ~3% of the sharded hop's traffic."""
+    k2 = jnp.float32(params.kappa * params.kappa)
+    mee_inv = _blk_unflatten(fc.mee_inv_p if sign > 0 else fc.mee_inv_m)
+    moo = _blk_unflatten(fc.moo_p if sign > 0 else fc.moo_m)
+    hop = lambda ug, x, p: dp.hopping_pallas_shard(
+        ug, x, p, lat, mesh, t_axis=t_axis, m_axis=m_axis,
+        interpret=_interpret(), halfspinor=halfspinor, overlap=overlap,
+        gcomp=fc.fg.gcomp,
+    )
+    tmp = hop(fc.fg.ug_even, psi2_o, EVEN)
+    tmp = _blocks_apply_split(mee_inv, tmp)
+    tmp = hop(fc.fg.ug_odd, tmp, ODD)
+    out = _blocks_apply_split(moo, psi2_o) - k2 * tmp
+    return _gamma5(out) if g5 else out
+
+
+def q_hat_pm_clover_fast_shard(
+    fc: "FastClover", psi2_o: jax.Array, params: DiracParams, lat: Lattice,
+    mesh, t_axis: str = "t", m_axis: str | None = None,
+    halfspinor: bool = True, overlap: bool = True,
+) -> jax.Array:
+    """Qsw_pm on the sharded kernel path (reference: Qsw_pm_psi under MPI
+    decomposition) — the multi-chip production CG operator of
+    CLOVERDET/CLOVERDETRATIO solves."""
+    kw = dict(t_axis=t_axis, m_axis=m_axis, halfspinor=halfspinor, overlap=overlap)
+    tmp = _m_hat_clover_fast_shard(fc, psi2_o, params, lat, mesh, sign=+1.0, g5=True, **kw)
+    return _m_hat_clover_fast_shard(fc, tmp, params, lat, mesh, sign=-1.0, g5=True, **kw)
+
+
+def _hop_nd_shard(fg: FastGauge, chi2: jax.Array, p: int, lat: Lattice,
+                  mesh, t_axis: str, m_axis: str | None,
+                  halfspinor: bool = True, overlap: bool = True) -> jax.Array:
+    """Doublet hopping on the sharded kernel: one call per flavor (the
+    multi-RHS flavor batching of the single-chip `_hop_nd` is not plumbed
+    through the halo machinery yet — costs ~1.4x gauge stream on the ND
+    sharded path only)."""
+    ug = fg.ug_even if p == EVEN else fg.ug_odd
+    hop = lambda x: dp.hopping_pallas_shard(
+        ug, x, p, lat, mesh, t_axis=t_axis, m_axis=m_axis,
+        interpret=_interpret(), halfspinor=halfspinor, overlap=overlap,
+        gcomp=fg.gcomp,
+    )
+    return jnp.stack([hop(chi2[:, 0]), hop(chi2[:, 1])], axis=1)
+
+
+def q_nd_fast_shard(fg: FastGauge, chi2: jax.Array, params, lat: Lattice,
+                    mesh, t_axis: str = "t", m_axis: str | None = None) -> jax.Array:
+    """Q_nd on the sharded kernel path (reference: Qtm_ndpsi under MPI) —
+    flavor-diagonal terms are site-local GSPMD elementwise ops."""
+    k2 = jnp.float32(params.kappa * params.kappa)
+    tmp = _hop_nd_shard(fg, chi2, EVEN, lat, mesh, t_axis, m_axis)
+    tmp = _mee_inv_nd_split(tmp, params.mubar_t, params.epsbar_t, +1.0)
+    tmp = _hop_nd_shard(fg, tmp, ODD, lat, mesh, t_axis, m_axis)
+    m = _mee_nd_split(chi2, params.mubar_t, params.epsbar_t, +1.0) - k2 * tmp
+    return _gamma5_nd(_tau1_split(m))
+
+
+def q_nd_sq_fast_shard(fg: FastGauge, chi2: jax.Array, params, lat: Lattice,
+                       mesh, t_axis: str = "t", m_axis: str | None = None) -> jax.Array:
+    return q_nd_fast_shard(
+        fg, q_nd_fast_shard(fg, chi2, params, lat, mesh, t_axis, m_axis),
+        params, lat, mesh, t_axis, m_axis,
+    )
+
+
+def q_nd_clover_fast_shard(fc: "FastCloverND", chi2: jax.Array, params,
+                           lat: Lattice, mesh, t_axis: str = "t",
+                           m_axis: str | None = None) -> jax.Array:
+    """Q_nd^sw on the sharded kernel path (reference: Qsw_ndpsi under MPI) —
+    the NDCLOVERRAT multishift operator on multi-chip."""
+    k2 = jnp.float32(params.kappa * params.kappa)
+    tmp = _hop_nd_shard(fc.fg, chi2, EVEN, lat, mesh, t_axis, m_axis)
+    tmp = _mee_inv_nd_blocks_split(fc, tmp)
+    tmp = _hop_nd_shard(fc.fg, tmp, ODD, lat, mesh, t_axis, m_axis)
+    m = _mee_nd_blocks_split(fc, chi2) - k2 * tmp
+    return _gamma5_nd(_tau1_split(m))
+
+
+def q_nd_sq_clover_fast_shard(fc: "FastCloverND", chi2: jax.Array, params,
+                              lat: Lattice, mesh, t_axis: str = "t",
+                              m_axis: str | None = None) -> jax.Array:
+    return q_nd_clover_fast_shard(
+        fc, q_nd_clover_fast_shard(fc, chi2, params, lat, mesh, t_axis, m_axis),
+        params, lat, mesh, t_axis, m_axis,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Non-degenerate doublet on the split/Pallas path (reference:
 # tm_operators_nd.c's hot loop inside the NDRAT multishift solves)
