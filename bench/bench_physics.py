@@ -78,6 +78,74 @@ def run_point(lat, beta, chains, therm, n, seed, c1=0.0):
     return mean, err, dt
 
 
+def run_pion_point(dims, kappa=0.12, mu=0.02, tol=1e-8):
+    """On-chip pion-correlator known answer at production scale (config-4
+    criterion stepping stone, VERDICT r5): solve the FREE (U=1) twisted-mass
+    point-source propagator on the chip with the production batched solver
+    (invert_eo_rhs: multi-RHS Pallas kernel) and compare C_PP(t) against the
+    EXACT analytic free correlator (host f64 FFT of M(k)^{-1} — the same
+    closed form pinned at 8x4^3 in tests/test_free_field.py).  Every
+    momentum, every timeslice: any operator/contraction/solver error at
+    scale shows up as a deviation beyond f32 solver accuracy."""
+    import numpy as np
+
+    from tmlqcd_tpu.gamma import GAMMA, GAMMA5
+    from tmlqcd_tpu.inverter import invert_eo_rhs
+    from tmlqcd_tpu.lattice import Lattice
+    from tmlqcd_tpu.meas.correlators import pion_correlator
+    from tmlqcd_tpu.meas.sources import point_source
+    from tmlqcd_tpu.ops.wilson import DiracParams
+
+    lat = Lattice(dims)
+    params = DiracParams(kappa=kappa, mu=mu)
+    t0 = time.perf_counter()
+
+    # analytic: M(k)^-1 -> S(x) by IFFT -> C(t) = sum |S|^2 (x3 colors)
+    ks = [np.arange(L) for L in dims]
+    grid = np.meshgrid(*ks, indexing="ij")
+    q = [2 * np.pi * grid[m] / dims[m] + np.pi * params.theta[m] / dims[m]
+         for m in range(4)]
+    a = 1.0 - 2.0 * kappa * sum(np.cos(qm) for qm in q)
+    mutld = params.mutld
+    eye = np.eye(4)
+    denom = a**2 + mutld**2
+    minv = a[..., None, None] * eye - 1j * mutld * GAMMA5
+    for m in range(4):
+        b = 2.0 * kappa * np.sin(q[m])
+        minv = minv - 1j * b[..., None, None] * GAMMA[m]
+        denom = denom + b**2
+    minv = minv / denom[..., None, None]
+    s_x = np.fft.ifftn(minv, axes=(0, 1, 2, 3))
+    c_exact = 3.0 * np.sum(np.abs(s_x) ** 2, axis=(1, 2, 3, 4, 5))  # [T]
+
+    # on-chip: 12 spin-color columns as one batched multi-RHS solve
+    u = jnp.broadcast_to(
+        jnp.eye(3, dtype=jnp.complex64).reshape(3, 3, 1, 1, 1, 1),
+        (3, 3, 4) + lat.site_shape,
+    )
+    bs = jnp.stack([point_source(lat, s, c, (0, 0, 0, 0), jnp.complex64)
+                    for s in range(4) for c in range(3)])
+    res = jax.jit(lambda u, bs: invert_eo_rhs(u, bs, params, lat, tol=tol,
+                                              maxiter=2000))(u, bs)
+    c_num = np.zeros(dims[0])
+    for i in range(12):
+        c_num += np.asarray(pion_correlator(res.x[i], lat, 0))
+    dt = time.perf_counter() - t0
+
+    rel = np.abs(c_num - c_exact) / np.abs(c_exact)
+    return {
+        "lattice": list(dims),
+        "kappa": kappa,
+        "mu": mu,
+        "iters": int(res.iterations),
+        "max_rel_dev": float(rel.max()),
+        "c_t0_exact": float(c_exact[0]),
+        "c_mid_exact": float(c_exact[dims[0] // 2]),
+        "seconds": round(dt, 1),
+        "pass": bool(rel.max() < 1e-3),
+    }
+
+
 def main(argv=None):
     from tmlqcd_tpu.utils import enable_persistent_compile_cache
 
@@ -90,6 +158,11 @@ def main(argv=None):
     ap.add_argument("--beta", type=float, nargs="+", default=[6.0, 5.7])
     ap.add_argument("--no-tlsym", action="store_true",
                     help="skip the tlSym strong-coupling known-answer point")
+    ap.add_argument("--no-pion", action="store_true",
+                    help="skip the production-scale free-pion known answer")
+    ap.add_argument("--pion-dims", type=int, nargs=4, default=None,
+                    help="lattice for the pion section (default 24^3x48 on "
+                    "TPU, 8x4^3 on CPU)")
     args = ap.parse_args(argv)
 
     from tmlqcd_tpu.lattice import Lattice
@@ -163,6 +236,18 @@ def main(argv=None):
               f"  leading-SC={expect:.6f}  (rel dev {rel:.1%})",
               file=sys.stderr)
 
+    pion = None
+    if not args.no_pion:
+        pdims = tuple(args.pion_dims) if args.pion_dims else (
+            (8, 4, 4, 4) if on_cpu else (48, 24, 24, 24)
+        )
+        pion = run_pion_point(pdims)
+        if not pion["pass"]:
+            worst_sigma = max(worst_sigma, 10.0)  # fail the gate
+        print(f"# pion (free, {pdims}): max rel dev {pion['max_rel_dev']:.2e} "
+              f"({pion['iters']} iters, {pion['seconds']}s) "
+              f"{'PASS' if pion['pass'] else 'FAIL'}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -172,6 +257,7 @@ def main(argv=None):
                 "vs_baseline": 1.0 if worst_sigma < 3.0 else 0.0,
                 "lattice": list(dims),
                 "chains": args.chains,
+                "pion_free_field": pion,
                 "traj_per_chain": {"therm": therm, "measured": n},
                 "points": points,
                 "device": jax.devices()[0].device_kind,

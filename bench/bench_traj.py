@@ -141,14 +141,25 @@ def _profile_phases(cfg, u, traj_best: float) -> dict:
 
     key = jax.random.key(4242)
 
+    # per-dispatch overhead (remote-tunnel round trip + jit call cost):
+    # subtracted from every standalone phase timing so the table reflects
+    # on-device work, not host<->TPU latency x call count
+    idty = jax.jit(lambda x: x + 1.0)
+    z = jnp.zeros(())
+    jax.block_until_ready(idty(z))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        jax.block_until_ready(idty(z))
+    overhead = (time.perf_counter() - t0) / 10.0
+
     def timed(fn, *a):
         fn_j = jax.jit(fn)
         jax.block_until_ready(fn_j(*a))  # compile + warm
         t0 = time.perf_counter()
         jax.block_until_ready(fn_j(*a))
-        return time.perf_counter() - t0
+        return max(time.perf_counter() - t0 - overhead, 0.0)
 
-    prof = {}
+    prof = {"per_call_overhead_s": round(overhead, 5)}
     prof["momenta_+_heatbaths_s"] = timed(
         lambda u, k: (su3.random_momenta(k, u.shape[2:], u.dtype),
                       _heatbaths(cfg, u, k)[1]), u, key,
@@ -165,23 +176,31 @@ def _profile_phases(cfg, u, traj_best: float) -> dict:
         lambda u, p: su3.project_su3(su3.mul(su3.expm_ta(0.01 * p), u)), u, p
     )
 
+    # aux (pseudofermions) must be jit ARGUMENTS, not captured constants:
+    # the axon transport cannot stage complex closure constants host-side
     for i, m in enumerate(cfg.monomials):
         n_kicks = int((kick_rows[:, i] != 0.0).sum())
-        if hasattr(m, "force_info"):
-            f = lambda u, a=aux_list[i], m=m: m.force_info(u, a)[0]
+        if aux_list[i] is None:
+            prof[f"force_{m.name}_s_x{n_kicks}"] = n_kicks * timed(
+                lambda u, m=m: m.force(u, None), u)
+        elif hasattr(m, "force_info"):
+            prof[f"force_{m.name}_s_x{n_kicks}"] = n_kicks * timed(
+                lambda u, a, m=m: m.force_info(u, a)[0], u, aux_list[i])
         else:
-            f = lambda u, a=aux_list[i], m=m: m.force(u, a)
-        prof[f"force_{m.name}_s_x{n_kicks}"] = n_kicks * timed(f, u)
+            prof[f"force_{m.name}_s_x{n_kicks}"] = n_kicks * timed(
+                lambda u, a, m=m: m.force(u, a), u, aux_list[i])
 
     acc = 0.0
     for i, m in enumerate(cfg.monomials):
-        if hasattr(m, "action_info"):
-            acc += timed(lambda u, a=aux_list[i], m=m: m.action_info(u, a)[0], u)
+        if aux_list[i] is None:
+            acc += timed(lambda u, m=m: m.action(u, None), u)
+        elif hasattr(m, "action_info"):
+            acc += timed(lambda u, a, m=m: m.action_info(u, a)[0], u, aux_list[i])
         else:
-            acc += timed(lambda u, a=aux_list[i], m=m: m.action(u, a), u)
+            acc += timed(lambda u, a, m=m: m.action(u, a), u, aux_list[i])
     prof["acceptance_actions_s"] = acc
 
-    total = sum(prof.values())
+    total = sum(v for k, v in prof.items() if k != "per_call_overhead_s")
     prof = {k: round(v, 4) for k, v in prof.items()}
     prof["sum_of_phases_s"] = round(total, 4)
     prof["measured_trajectory_s"] = round(traj_best, 4)
