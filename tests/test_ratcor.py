@@ -116,7 +116,7 @@ def test_ratcor_z_near_identity_and_heatbath():
     u = _u0()
     mono = _cor()
     v = rng.normal_spinor(jax.random.key(3), eo_spinor_shape(LAT), u.dtype)
-    zv = _apply_z(mono, u, v, 1e-11)
+    zv, _ = _apply_z(mono, u, v, 1e-11)
     dev = float(jnp.linalg.norm((zv - v).ravel()) / jnp.linalg.norm(v.ravel()))
     assert 1e-9 < dev < 1e-3  # small but nonzero: order-6 rational error
     phi, s0 = mono.heatbath(u, jax.random.key(4))

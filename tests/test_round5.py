@@ -264,6 +264,20 @@ def test_sharded_kernel_trajectory_matches_jnp(monkeypatch):
     assert int(st.force_iterations[1]) > 0
 
 
+@pytest.mark.parametrize("c1", [0.0, -1.0 / 12.0, -0.331])
+def test_direct_staple_force_matches_ad(c1):
+    """The hand-summed staple force (get_staples.c analog, the round-5
+    gauge-sector optimization) equals the FD-validated AD force for the
+    Wilson/tlSym/Iwasaki actions."""
+    from tmlqcd_tpu.ops.gauge_action import gauge_force, gauge_force_ad
+
+    u = _u(6)
+    f_direct = jax.jit(lambda u: gauge_force(u, 5.6, LAT, c1))(u)
+    f_ad = jax.jit(lambda u: gauge_force_ad(u, 5.6, LAT, c1))(u)
+    rel = float(jnp.max(jnp.abs(f_direct - f_ad))) / float(jnp.max(jnp.abs(f_ad)))
+    assert rel < 1e-5
+
+
 def test_hmc_cli_multichip_input(tmp_path):
     """The NrTProcs/NrYProcs input keys drive the driver end-to-end on the
     8-device rig: mesh built, gauge field sharded, trajectories + checkpoint

@@ -68,8 +68,10 @@ class GaugeMonomial:
         return gauge_action(u, self.beta, self.lat, self.c1)
 
     def force(self, u, aux):
-        g = jax.grad(lambda uu: gauge_action(uu, self.beta, self.lat, self.c1))(u)
-        return ta_force_from_grad(u, g)
+        # hand-summed staple force (get_staples.c analog; AD oracle-tested)
+        from tmlqcd_tpu.ops.gauge_action import gauge_force
+
+        return gauge_force(u, self.beta, self.lat, self.c1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -180,9 +182,13 @@ def _resolve_solver(solver: str) -> str:
     bf16 noise floor (mixed 253 inner, rgmixed >1000) — end-to-end
     trajectories run 2.89 s with CG vs 4.26 s with rgmixedcg.  The 1.2x
     per-iteration bandwidth win of the bf16 gauge stream cannot buy back a
-    >10x iteration inflation, so mixed precision is opt-in, for the
-    ill-conditioned light-mass solves where the f32 stream is
-    iteration-bound, not accuracy-bound."""
+    >10x iteration inflation.  Round-5 regime probe (bench/bench_mixed.py,
+    8^3x16 thermalized background, tol 1e-8): the inflation GROWS with
+    conditioning — kappa=0.15: mixed 0.39x of CG; kappa=0.16 near kappa_c:
+    0.27x — so there is NO regime on this hardware where the bf16 sloppy
+    tier pays at production tolerances.  Mixed solvers stay selectable for
+    parity; the light-mass accelerator is the 2-level MG
+    (Solver=dflfgmres, 3.44x/solve measured at kappa_c)."""
     if solver != "auto":
         return solver.lower()
     return "cg"

@@ -530,6 +530,12 @@ class _RatCorMixin:
         # accept/reject-only monomial: no MD force (see block comment above)
         return jnp.zeros_like(u)
 
+    def force_info(self, u, phi):
+        # overrides the base monomial's solver-backed force_info: the
+        # correction acts through the Hamiltonian only, so the integrator
+        # must see a zero force AND zero solve iterations
+        return jnp.zeros_like(u), jnp.asarray(0, jnp.int32)
+
 
 @dataclasses.dataclass(frozen=True)
 class RatCorMonomial(_RatCorMixin, RatMonomial):
