@@ -67,9 +67,27 @@ def run_point(lat, beta, chains, therm, n, seed, c1=0.0):
         return u2, plaq
 
     t0 = time.perf_counter()
-    u, _ = sweep(u, keys, 0, therm)  # thermalization, discarded
-    u, plaq = sweep(u, keys, therm, n)  # [n, C]
-    plaq = jax.device_get(plaq).astype(float)
+    # chunked sweeps: one uninterrupted multi-hundred-trajectory scan keeps
+    # the device busy for tens of minutes with zero host contact, which the
+    # remote-TPU worker does not survive (observed 2/2 'TPU worker process
+    # crashed' on the slower tlSym point; the host sync per chunk costs ~ms)
+    CHUNK = 50
+    done = 0
+    while done < therm:
+        step_n = min(CHUNK, therm - done)
+        u, _ = sweep(u, keys, done, step_n)
+        jax.block_until_ready(u)
+        done += step_n
+    plaqs = []
+    done = 0
+    while done < n:
+        step_n = min(CHUNK, n - done)
+        u, pl = sweep(u, keys, therm + done, step_n)
+        plaqs.append(jax.device_get(pl))
+        done += step_n
+    import numpy as _np
+
+    plaq = _np.concatenate(plaqs, axis=0).astype(float)
     dt = time.perf_counter() - t0
 
     chain_means = plaq.mean(axis=0)  # [C]

@@ -63,3 +63,19 @@ def _assert_cpu():
     assert jax.default_backend() == "cpu", "tests must run on CPU"
     assert jax.device_count() == 8, "expected 8 virtual CPU devices"
     yield
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _recycle_jax_between_modules():
+    """Unload compiled executables after every test module.
+
+    The suite compiles hundreds of XLA:CPU modules; in one long-lived
+    process the backend eventually segfaults/aborts inside
+    backend_compile/cache serialization on a LARGE module (observed rounds
+    4-5 at ~140 modules on two different hosts, while every crashing test
+    passes in a fresh process).  Dropping the pjit caches releases the
+    loaded executables (and their JIT code memory) between modules, keeping
+    the process below the backend's longevity threshold.  Costs only
+    cross-module recompiles of a handful of shared helpers."""
+    yield
+    jax.clear_caches()

@@ -697,7 +697,8 @@ def _build_tb(p: int, lat: Lattice, mt: int, hw: int, tb: int, scale: float,
 
 
 def _pick_tb(lat: Lattice, mt: int, hw: int, vmem_budget: int,
-             compressed: bool = False, blocks: bool = False) -> int:
+             compressed: bool = False, blocks: bool = False,
+             po: bool = False) -> int:
     """Largest multi-slab factor tb (t-slabs per grid step) that divides T
     and fits the VMEM budget; 1 = the single-slab kernel.  Bigger tb cuts
     psi traffic ((tb+2)/tb re-reads) at the cost of tb x the ug block.
@@ -715,12 +716,23 @@ def _pick_tb(lat: Lattice, mt: int, hw: int, vmem_budget: int,
     lim = _vmem_limit()
     ug_f = 96 if compressed else 144
     blk_b = 576 if blocks else 0
+    po_b = 96 if po else 0  # psi_o epilogue block (mhat/clov_mhat)
+    # Mosaic T(8,128) layout pads the lane (last) dim to 128 multiples —
+    # a 288-wide m-tile occupies 384 lanes of VMEM.  Both the po block and
+    # the lane padding were missing from this estimate until round 5: at
+    # 24^3x48 (mt = m = 288) the tb=2 kernel's true 36.0M stack blew the
+    # 32M scoped cap at compile time.
+    mt_pad = 128 * ((mt + 127) // 128)
+    hw_pad = 128 * ((hw + 127) // 128)
+    # single-instance in-kernel scratch (reused across the tb slab loop):
+    # the m-concatenated psi slice + the re/im accumulators
+    scratch = 96 * x * (mt_pad + 2 * hw_pad) + 96 * x * mt_pad
     for tb in ((4, 2) if compressed else (2,)):
         if t_ext % tb:
             continue
-        work = (x * mt * ((tb + 2) * 96 + tb * ug_f * 4 + tb * (96 + blk_b))
-                + 2 * 96 * x * hw * tb)
-        if 2 * work <= max(lim, vmem_budget):
+        work = (x * mt_pad * ((tb + 2) * 96 + tb * ug_f * 4 + tb * (96 + blk_b + po_b))
+                + 2 * 96 * x * hw_pad * tb)
+        if 2 * work + scratch <= max(lim, vmem_budget):
             return tb
     return 1
 
@@ -844,6 +856,13 @@ def _build(p: int, lat: Lattice, mt: int, hw: int, scale: float, interpret: bool
     else:
         kernel = functools.partial(_dslash_kernel, p, lat, mt, nmb, scale, epi,
                                    gcomp)
+    kw = {}
+    if not interpret:
+        # raise the per-kernel scoped-vmem cap like _build_tb: a full-axis
+        # m-tile (mt = M when M is not a 128 multiple, e.g. 24^3 lattices
+        # with M = 288 padded to 384 lanes) overflows the 16 MiB default
+        # even at tb=1
+        kw["compiler_params"] = pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit())
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -852,6 +871,7 @@ def _build(p: int, lat: Lattice, mt: int, hw: int, scale: float, interpret: bool
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         cost_estimate=cost,
         interpret=interpret,
+        **kw,
     )
 
 
@@ -926,7 +946,7 @@ def hopping_pallas_split(
         tb = 1
     else:
         tb = _pick_tb(lat, int(mt), int(hw), budget, compressed=gc is not None,
-                      blocks=needs_blk)
+                      blocks=needs_blk, po=needs_po)
     if tb > 1:
         call = _build_tb(p, lat, int(mt), int(hw), tb, float(scale), interpret,
                          tuple(epi), gc, nrhs, r_axis)
