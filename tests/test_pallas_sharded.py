@@ -127,3 +127,49 @@ def test_halfspinor_projection_roundtrip():
             s2 = dp._spin_map_split(w_.conj().T, rec)
             np.testing.assert_allclose(np.asarray(s2), np.asarray(s), atol=1e-6)
             assert s.shape[1] == 2  # half the spin components over the wire
+
+
+def test_shard_multirhs_matches_per_column(fields):
+    """Multi-RHS on the DOMAIN-DECOMPOSED kernel (round 5): an R axis at
+    r_axis=3 rides the sharded builds — gauge block reused across the R grid
+    steps, halos batched into single ppermutes — bitwise equal to R
+    independent sharded calls (reference: invert's 12 spin-color columns
+    under the MPI decomposition)."""
+    _, uge, _, psis = fields
+    R = 3
+    cols2 = dp.split_c(
+        rng.normal_spinor(jax.random.key(7), (R, 4, 3) + LAT.eo_site_shape, jnp.complex64)
+    ).astype(jnp.float32)  # [2, R, 4, 3, T, X, M]
+    psir = jnp.moveaxis(cols2, 1, 3)  # [2, 4, 3, R, T, X, M]
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("t", "m"))
+    ug_s = jax.device_put(uge, NamedSharding(mesh, P(None, None, None, None, "t", None, "m")))
+    one = jax.jit(
+        lambda a, b: dp.hopping_pallas_shard(
+            a, b, EVEN, LAT, mesh, t_axis="t", m_axis="m", interpret=True
+        )
+    )
+    ref = jnp.stack(
+        [one(ug_s, jax.device_put(cols2[:, r], NamedSharding(mesh, P(None, None, None, "t", None, "m"))))
+         for r in range(R)], axis=3,
+    )
+    psir_s = jax.device_put(
+        psir, NamedSharding(mesh, P(None, None, None, None, "t", None, "m")))
+    out = jax.jit(
+        lambda a, b: dp.hopping_pallas_shard(
+            a, b, EVEN, LAT, mesh, t_axis="t", m_axis="m", interpret=True
+        )
+    )(ug_s, psir_s)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # flavor-doublet layout (r_axis=1): the batched _hop_nd_shard call
+    chi_s = jax.device_put(
+        cols2[:, :2], NamedSharding(mesh, P(None, None, None, None, "t", None, "m")))
+    out_nd = jax.jit(
+        lambda a, b: dp.hopping_pallas_shard(
+            a, b, EVEN, LAT, mesh, t_axis="t", m_axis="m", interpret=True
+        )
+    )(ug_s, chi_s)
+    np.testing.assert_array_equal(
+        np.asarray(out_nd), np.asarray(jnp.moveaxis(ref, 3, 1)[:, :2])
+    )

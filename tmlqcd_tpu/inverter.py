@@ -184,6 +184,7 @@ def invert_eo_rhs(
     bs: [R, 4, 3, T, X, Mf] complex; c_sw selects the clover pipeline.
     Returns x [R, 4, 3, T, X, Mf]; residual_sq/iterations are per-side [R] /
     the max over sides."""
+    from tmlqcd_tpu import parallel
     from tmlqcd_tpu.ops import wilson_fast as wf
     from tmlqcd_tpu.solvers.cg import cg_rhs
 
@@ -192,6 +193,7 @@ def invert_eo_rhs(
     kappa = jnp.asarray(params.kappa, bs.real.dtype)
     clov = params.c_sw != 0.0
     vm = jax.vmap
+    am = parallel.active_mesh()
 
     if clov:
         from tmlqcd_tpu.ops import clover as cl
@@ -200,12 +202,22 @@ def invert_eo_rhs(
         mee_inv = lambda x: cl.sw_inv_apply(sw_e, x, params.mutld, +1.0)
         qm = lambda x: cl.q_hat_clover(ueo, sw_e, sw_o, x, params, lat, ph, -1.0)
         fc = wf.make_fast_clover(u, params, lat)
-        mv = lambda x2: wf.q_hat_pm_clover_fast(fc, x2, params, lat)
+        if am is not None:
+            # domain-decomposed multi-RHS: the R axis rides the sharded
+            # kernel builds (gauge stream read once per tile, halos batched)
+            mesh, t_ax, m_ax = am
+            mv = lambda x2: wf.q_hat_pm_clover_fast_shard(fc, x2, params, lat, mesh, t_ax, m_ax)
+        else:
+            mv = lambda x2: wf.q_hat_pm_clover_fast(fc, x2, params, lat)
     else:
         mee_inv = lambda x: w.mee_inv_packed(x, params.mutld, +1.0)
         qm = lambda x: w.q_hat(ueo, x, params, lat, ph, -1.0)
         fg = wf.make_fast_gauge(u, params, lat)
-        mv = lambda x2: wf.q_hat_pm_fast(fg, x2, params, lat)
+        if am is not None:
+            mesh, t_ax, m_ax = am
+            mv = lambda x2: wf.q_hat_pm_fast_shard(fg, x2, params, lat, mesh, t_ax, m_ax)
+        else:
+            mv = lambda x2: wf.q_hat_pm_fast(fg, x2, params, lat)
 
     b_e, b_o = vm(lambda b: eo_pack(b, lat))(bs)
     t = vm(mee_inv)(b_e)

@@ -1045,9 +1045,12 @@ def _build_ext(p: int, lat_loc: Lattice, mt: int, hw: int, scale: float, interpr
     )
 
 
-def _spin_map_split(mat: np.ndarray, psi2: jax.Array) -> jax.Array:
+def _spin_map_split(mat: np.ndarray, psi2: jax.Array, ax: int = 1) -> jax.Array:
     """Apply a constant spin matrix (complex [s_out, s_in]) to a split
-    field [2, s_in, 3, ...] -> [2, s_out, 3, ...]."""
+    field with the spin axis at `ax` (default [2, s_in, 3, ...] ->
+    [2, s_out, 3, ...]; multi-RHS fields with R before spin pass ax=2)."""
+    if ax != 1:
+        return jnp.moveaxis(_spin_map_split(mat, jnp.moveaxis(psi2, ax, 1)), 1, ax)
     wr = jnp.asarray(mat.real, psi2.dtype)
     wi = jnp.asarray(mat.imag, psi2.dtype)
     re = jnp.einsum("ab,b...->a...", wr, psi2[0]) - jnp.einsum(
@@ -1192,9 +1195,38 @@ def _shard_bnd_kernel(p: int, lat_loc: Lattice, scale: float,
                                           x_ext, mt)
 
 
+def _shard_wrap_rhs(r_pos: int, refs):
+    """Wrap the psi-like refs of a multi-RHS sharded build (inputs 0-4 and
+    the output) so the single-RHS kernel bodies run unchanged; the gauge ref
+    (index 5) carries no R axis."""
+    return [_RhsRef(r, r_pos) for r in refs[:5]] + [refs[5], _RhsRef(refs[6], r_pos)]
+
+
+def _shard_kernel_r(r_pos: int, p: int, lat_loc: Lattice, scale: float,
+                    t_off: int, gcomp: tuple | None, *refs):
+    _shard_kernel(p, lat_loc, scale, t_off, gcomp, *_shard_wrap_rhs(r_pos, refs))
+
+
+def _shard_bnd_kernel_r(r_pos: int, p: int, lat_loc: Lattice, scale: float,
+                        gcomp: tuple | None, *refs):
+    _shard_bnd_kernel(p, lat_loc, scale, gcomp, *_shard_wrap_rhs(r_pos, refs))
+
+
+def _shard_rhs_lift(specs, out_spec, grid, out_shape, nrhs: int, r_pos: int):
+    """Lift a sharded build (psi-like specs 0-4, ug spec 5) to the multi-RHS
+    grid: R becomes the innermost grid axis; the gauge spec ignores it, so
+    its VMEM block is reused across the R steps (same amortization as the
+    single-chip multi-RHS builds)."""
+    specs = [_rhs_spec(s, r_pos, i != 5) for i, s in enumerate(specs)]
+    out_spec = _rhs_spec(out_spec, r_pos, True)
+    grid = grid + (nrhs,)
+    out_shape = out_shape[:r_pos] + (nrhs,) + out_shape[r_pos:]
+    return specs, out_spec, grid, out_shape
+
+
 @functools.lru_cache(maxsize=64)
 def _build_shard_ext(p: int, lat_loc: Lattice, scale: float, interpret: bool,
-                     gcomp: tuple | None = None):
+                     gcomp: tuple | None = None, nrhs: int = 0, r_pos: int = 3):
     """Non-overlap sharded call: psi_ext [., t_loc+2, X, m_loc] (t-halos
     concatenated), mh_lo/mh_hi [., t_loc, X, zh]."""
     t_loc, x_ext = lat_loc.dims[0], lat_loc.dims[1]
@@ -1213,20 +1245,27 @@ def _build_shard_ext(p: int, lat_loc: Lattice, scale: float, interpret: bool,
         pl.BlockSpec(ug_block, lambda t: (t - t, t - t, t - t, t - t, t, t - t, t - t)),
     ]
     out_spec = pl.BlockSpec(psi_block, lambda t: (t - t, t - t, t - t, t, t - t, t - t))
-    kernel = functools.partial(_shard_kernel, p, lat_loc, scale, 0, gcomp)
+    grid = (t_loc,)
+    out_shape = (2, 4, 3, t_loc, x_ext, m_loc)
+    if nrhs:
+        specs, out_spec, grid, out_shape = _shard_rhs_lift(
+            specs, out_spec, grid, out_shape, nrhs, r_pos)
+        kernel = functools.partial(_shard_kernel_r, r_pos, p, lat_loc, scale, 0, gcomp)
+    else:
+        kernel = functools.partial(_shard_kernel, p, lat_loc, scale, 0, gcomp)
     return pl.pallas_call(
         kernel,
-        grid=(t_loc,),
+        grid=grid,
         in_specs=specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((2, 4, 3, t_loc, x_ext, m_loc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         interpret=interpret,
     )
 
 
 @functools.lru_cache(maxsize=64)
 def _build_shard_int(p: int, lat_loc: Lattice, scale: float, interpret: bool,
-                     gcomp: tuple | None = None):
+                     gcomp: tuple | None = None, nrhs: int = 0, r_pos: int = 3):
     """Interior slabs t = 1 .. t_loc-2: NO dependence on the t-halos, so this
     call overlaps with the halo ppermutes (the Hopping_Matrix_nocom piece)."""
     t_loc, x_ext = lat_loc.dims[0], lat_loc.dims[1]
@@ -1246,20 +1285,27 @@ def _build_shard_int(p: int, lat_loc: Lattice, scale: float, interpret: bool,
         pl.BlockSpec(ug_block, lambda t: (t - t, t - t, t - t, t - t, a1(t), t - t, t - t)),
     ]
     out_spec = pl.BlockSpec(psi_block, lambda t: (t - t, t - t, t - t, t, t - t, t - t))
-    kernel = functools.partial(_shard_kernel, p, lat_loc, scale, 1, gcomp)
+    grid = (t_loc - 2,)
+    out_shape = (2, 4, 3, t_loc - 2, x_ext, m_loc)
+    if nrhs:
+        specs, out_spec, grid, out_shape = _shard_rhs_lift(
+            specs, out_spec, grid, out_shape, nrhs, r_pos)
+        kernel = functools.partial(_shard_kernel_r, r_pos, p, lat_loc, scale, 1, gcomp)
+    else:
+        kernel = functools.partial(_shard_kernel, p, lat_loc, scale, 1, gcomp)
     return pl.pallas_call(
         kernel,
-        grid=(t_loc - 2,),
+        grid=grid,
         in_specs=specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((2, 4, 3, t_loc - 2, x_ext, m_loc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         interpret=interpret,
     )
 
 
 @functools.lru_cache(maxsize=64)
 def _build_shard_bnd(p: int, lat_loc: Lattice, scale: float, interpret: bool,
-                     gcomp: tuple | None = None):
+                     gcomp: tuple | None = None, nrhs: int = 0, r_pos: int = 3):
     """The two t-surface slabs (depends on the t-halos; runs after the
     ppermutes land, concurrently with nothing it needn't wait for)."""
     t_loc, x_ext = lat_loc.dims[0], lat_loc.dims[1]
@@ -1278,13 +1324,20 @@ def _build_shard_bnd(p: int, lat_loc: Lattice, scale: float, interpret: bool,
         pl.BlockSpec(ug_block, lambda b: (b - b, b - b, b - b, b - b, edge(b), b - b, b - b)),
     ]
     out_spec = pl.BlockSpec(psi_block, lambda b: (b - b, b - b, b - b, b, b - b, b - b))
-    kernel = functools.partial(_shard_bnd_kernel, p, lat_loc, scale, gcomp)
+    grid = (2,)
+    out_shape = (2, 4, 3, 2, x_ext, m_loc)
+    if nrhs:
+        specs, out_spec, grid, out_shape = _shard_rhs_lift(
+            specs, out_spec, grid, out_shape, nrhs, r_pos)
+        kernel = functools.partial(_shard_bnd_kernel_r, r_pos, p, lat_loc, scale, gcomp)
+    else:
+        kernel = functools.partial(_shard_bnd_kernel, p, lat_loc, scale, gcomp)
     return pl.pallas_call(
         kernel,
-        grid=(2,),
+        grid=grid,
         in_specs=specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((2, 4, 3, 2, x_ext, m_loc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         interpret=interpret,
     )
 
@@ -1319,8 +1372,23 @@ def hopping_pallas_shard(
     Constraints: T/tsh even; Y/msh even (global parity masks == local);
     single m tile per shard (the sharded slab must fit VMEM — shard m more
     if it doesn't).
+
+    MULTI-RHS: a 7-dim psi_q with an extra axis of R right-hand sides at
+    r_axis 3 ([2, 4, 3, R, T, X, M]) or 1 (flavor doublets
+    [2, 2, 4, 3, T, X, M]) runs the multi-RHS sharded builds — the gauge
+    stream is read once per tile and amortized over all R sides, and the
+    halo ppermutes batch all R sides into single exchanges.
     """
     from jax.sharding import PartitionSpec as P
+
+    nrhs = 0
+    r_axis = 3
+    if psi_q.ndim == 7:
+        # spin is always 4: [2, 4, 3, R, ...] vs flavor [2, 2, 4, 3, ...]
+        r_axis = 3 if psi_q.shape[1] == 4 else 1
+        nrhs = int(psi_q.shape[r_axis])
+    t_pos = 4 if nrhs else 3  # position of the local-t axis in psi
+    s_ax = 2 if (nrhs and r_axis == 1) else 1  # spin axis for the isometries
 
     tsh = int(mesh.shape[t_axis])
     msh = int(mesh.shape[m_axis]) if m_axis is not None else 1
@@ -1349,13 +1417,20 @@ def hopping_pallas_shard(
         if not active:
             return lo_local, hi_local
         if halfspinor:
-            s_lo = jax.lax.ppermute(_spin_map_split(wb_.conj().T, lo_local), axis_name, perm_fwd)
-            s_hi = jax.lax.ppermute(_spin_map_split(wf_.conj().T, hi_local), axis_name, perm_bwd)
-            return _spin_map_split(0.5 * wb_, s_lo), _spin_map_split(0.5 * wf_, s_hi)
+            s_lo = jax.lax.ppermute(
+                _spin_map_split(wb_.conj().T, lo_local, s_ax), axis_name, perm_fwd)
+            s_hi = jax.lax.ppermute(
+                _spin_map_split(wf_.conj().T, hi_local, s_ax), axis_name, perm_bwd)
+            return (_spin_map_split(0.5 * wb_, s_lo, s_ax),
+                    _spin_map_split(0.5 * wf_, s_hi, s_ax))
         return (
             jax.lax.ppermute(lo_local, axis_name, perm_fwd),
             jax.lax.ppermute(hi_local, axis_name, perm_bwd),
         )
+
+    def _tsl(x, lo: bool):
+        n = x.shape[t_pos]
+        return jax.lax.slice_in_dim(x, n - 1 if lo else 0, n if lo else 1, axis=t_pos)
 
     def local_fn(ug_l, psi_l):
         mh_lo, mh_hi = _exchange(
@@ -1364,36 +1439,43 @@ def hopping_pallas_shard(
         )
         th_lo, th_hi = _exchange(
             psi_l, t_axis, fwd_t, bwd_t,
-            lambda x: x[:, :, :, -1:], lambda x: x[:, :, :, :1], wf0, wb0, True,
+            lambda x: _tsl(x, True), lambda x: _tsl(x, False), wf0, wb0, True,
         )
         gc = tuple(gcomp) if gcomp is not None else None
         if use_split:
-            th = jnp.concatenate([th_lo, th_hi], axis=3)  # [2,4,3,2,X,m_loc]
-            bnd = _build_shard_bnd(p, lat_loc, float(scale), interpret, gc)(
+            th = jnp.concatenate([th_lo, th_hi], axis=t_pos)  # [..,2,X,m_loc]
+            bnd = _build_shard_bnd(p, lat_loc, float(scale), interpret, gc,
+                                   nrhs, r_axis)(
                 psi_l, psi_l, th, mh_lo, mh_hi, ug_l
             )
             if t_loc > 2:
-                inner = _build_shard_int(p, lat_loc, float(scale), interpret, gc)(
+                inner = _build_shard_int(p, lat_loc, float(scale), interpret, gc,
+                                         nrhs, r_axis)(
                     psi_l, psi_l, psi_l, mh_lo, mh_hi, ug_l
                 )
                 return jnp.concatenate(
-                    [bnd[:, :, :, :1], inner, bnd[:, :, :, 1:]], axis=3
+                    [jax.lax.slice_in_dim(bnd, 0, 1, axis=t_pos), inner,
+                     jax.lax.slice_in_dim(bnd, 1, 2, axis=t_pos)], axis=t_pos
                 )
             return bnd
-        ext = jnp.concatenate([th_lo, psi_l, th_hi], axis=3)
-        return _build_shard_ext(p, lat_loc, float(scale), interpret, gc)(
+        ext = jnp.concatenate([th_lo, psi_l, th_hi], axis=t_pos)
+        return _build_shard_ext(p, lat_loc, float(scale), interpret, gc,
+                                nrhs, r_axis)(
             ext, ext, ext, mh_lo, mh_hi, ug_l
         )
 
     mspec = m_axis
+    psi_spec = [None, None, None, t_axis, None, mspec]
+    if nrhs:
+        psi_spec.insert(r_axis, None)
     return jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(
             P(None, None, None, None, t_axis, None, mspec),
-            P(None, None, None, t_axis, None, mspec),
+            P(*psi_spec),
         ),
-        out_specs=P(None, None, None, t_axis, None, mspec),
+        out_specs=P(*psi_spec),
         check_vma=False,
     )(ug_p, psi_q)
 

@@ -265,17 +265,17 @@ def q_hat_pm_clover_fast_shard(
 def _hop_nd_shard(fg: FastGauge, chi2: jax.Array, p: int, lat: Lattice,
                   mesh, t_axis: str, m_axis: str | None,
                   halfspinor: bool = True, overlap: bool = True) -> jax.Array:
-    """Doublet hopping on the sharded kernel: one call per flavor (the
-    multi-RHS flavor batching of the single-chip `_hop_nd` is not plumbed
-    through the halo machinery yet — costs ~1.4x gauge stream on the ND
-    sharded path only)."""
+    """Doublet hopping as ONE multi-RHS sharded kernel call (flavor = the R
+    axis, r_axis=1): the gauge stream is read once per tile and shared by
+    both flavors, and each halo ppermute carries both flavors in a single
+    exchange — mirroring the single-chip `_hop_nd` batching on the
+    domain-decomposed path."""
     ug = fg.ug_even if p == EVEN else fg.ug_odd
-    hop = lambda x: dp.hopping_pallas_shard(
-        ug, x, p, lat, mesh, t_axis=t_axis, m_axis=m_axis,
+    return dp.hopping_pallas_shard(
+        ug, chi2, p, lat, mesh, t_axis=t_axis, m_axis=m_axis,
         interpret=_interpret(), halfspinor=halfspinor, overlap=overlap,
         gcomp=fg.gcomp,
     )
-    return jnp.stack([hop(chi2[:, 0]), hop(chi2[:, 1])], axis=1)
 
 
 def q_nd_fast_shard(fg: FastGauge, chi2: jax.Array, params, lat: Lattice,
